@@ -127,6 +127,30 @@ def write_bvh(path, blocks):
             f.write(payload)
 
 
+def read_lz4_buffer(f, dtype=np.uint8):
+    """Reads one LZ4 buffer record: [u32 uncompressed][u32 compressed]
+    [lz4 block] (src/driver/buffer.h read_buffer). f: path or open file."""
+    from .. import native
+    if isinstance(f, (str, bytes)) or hasattr(f, "__fspath__"):
+        with open(f, "rb") as fh:
+            return read_lz4_buffer(fh, dtype)
+    in_size, out_size = struct.unpack("<II", f.read(8))
+    raw = native.lz4_decompress(f.read(out_size), in_size)
+    return np.frombuffer(raw, dtype)
+
+
+def write_lz4_buffer(f, array):
+    """Writes one LZ4 buffer record (src/driver/buffer.h write_buffer)."""
+    from .. import native
+    if isinstance(f, (str, bytes)) or hasattr(f, "__fspath__"):
+        with open(f, "wb") as fh:
+            return write_lz4_buffer(fh, array)
+    raw = np.ascontiguousarray(array).tobytes()
+    comp = native.lz4_compress(raw)
+    f.write(struct.pack("<II", len(raw), len(comp)))
+    f.write(comp)
+
+
 def read_rays(path, tmin=0.0, tmax=None):
     """Reads a .rays file -> dict of float32 arrays org (N,3), dir (N,3),
     tmin (N,), tmax (N,)."""

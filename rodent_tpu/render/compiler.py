@@ -1,0 +1,174 @@
+"""Scene compiler: OBJ/MTL -> device-ready scene (the converter analog).
+
+The reference converter (src/driver/converter.cpp:575-967) emits Impala
+source that is compiled with the renderer, baking shaders/lights/camera
+into code. The TPU analog compiles the same information into *static
+data + jit-specialized config*: a material parameter table (the megakernel
+"simple material fusion" generalized to all kinds), a triangle-light table,
+and the BVH, all as device arrays; shader dispatch is data-driven masks
+(see render.bsdf).
+
+Reproduced converter behaviors:
+- cleanup_obj (converter.cpp:467-557): dummy material for missing
+  definitions (kd = (0,1,1)), dedup of identical materials, removal of
+  unused ones;
+- material -> BSDF mapping (converter.cpp:859-927): illum 5 = mirror,
+  illum 7 = glass(1, ni, ks, tf), else diffuse/phong/mix by kd/ks,
+  black when both zero; emissive when ke != 0;
+- triangle-light extraction with precomputed normal/inv_area
+  (converter.cpp:771-856) and light_ids buffer per triangle.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..accel import build_bvh
+from ..io import obj as obj_io
+from ..traversal.api import bvh_to_device
+from . import bsdf as bsdf_mod
+from . import light as light_mod
+
+
+def _luminance(c):
+    return 0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2]
+
+
+def material_to_params(mat):
+    """Maps an obj Material to (kind, params) per converter.cpp:859-927."""
+    ke = tuple(mat.ke)
+    emissive = ke != (0.0, 0.0, 0.0) or mat.map_ke != ""
+    if mat.illum == 5:
+        kind = bsdf_mod.MIRROR
+    elif mat.illum == 7:
+        kind = bsdf_mod.GLASS
+    else:
+        has_diffuse = tuple(mat.kd) != (0.0, 0.0, 0.0) or mat.map_kd != ""
+        has_specular = tuple(mat.ks) != (0.0, 0.0, 0.0) or mat.map_ks != ""
+        if has_diffuse and has_specular:
+            kind = bsdf_mod.MIX
+        elif has_diffuse:
+            kind = bsdf_mod.DIFFUSE
+        elif has_specular:
+            kind = bsdf_mod.PHONG
+        else:
+            kind = bsdf_mod.BLACK
+    lum_ks = _luminance(mat.ks)
+    lum_kd = _luminance(mat.kd)
+    mix_k = lum_ks / (lum_ks + lum_kd) if (lum_ks + lum_kd) != 0.0 else 0.0
+    return {
+        "kind": kind,
+        "kd": tuple(mat.kd),
+        "ks": tuple(mat.ks),
+        "ns": float(mat.ns),
+        "ni": float(mat.ni),
+        "tf": tuple(mat.tf),
+        "mix_k": float(mix_k),
+        "emissive": bool(emissive),
+        "ke": ke,
+    }
+
+
+def _dummy_material():
+    """cleanup_obj's dummy material (converter.cpp:469-485): cyan kd."""
+    m = obj_io.Material(name="")
+    m.kd = (0.0, 1.0, 1.0)
+    return m
+
+
+@dataclass
+class CompiledScene:
+    device: dict                      # arrays for the integrator
+    mesh: object                      # host TriMesh
+    materials: list                   # material names after cleanup
+    mat_params: list = field(default_factory=list)
+    num_lights: int = 0
+
+
+def compile_obj(path, arity=8, max_path_len=64):
+    """OBJ path -> CompiledScene. The (scene, arity, max_path_len) choice
+    plays the role of the converter CLI flags baked into generated code
+    (converter.cpp:973-1070)."""
+    f = obj_io.load_obj(path)
+    mtl_lib = obj_io.load_mtl_libs(path, f)
+    mtl_lib[""] = _dummy_material()
+
+    # cleanup_obj: replace missing, dedup identical, drop unused
+    names = list(f.materials)
+    for i, n in enumerate(names):
+        if n != "" and n not in mtl_lib:
+            names[i] = ""
+    remap_name = {}
+    for i, n1 in enumerate(names):
+        if n1 in remap_name:
+            continue
+        for n2 in names[i + 1:]:
+            if n2 not in remap_name and n2 != n1 and _mat_eq(
+                    mtl_lib[n1], mtl_lib[n2]):
+                remap_name[n2] = n1
+    used = set()
+    for o in f.objects:
+        for g in o.groups:
+            for face in g.faces:
+                n = names[face.material]
+                used.add(remap_name.get(n, n))
+    new_names = [n for n in dict.fromkeys(names) if n in used]
+    id_remap = {}
+    for old_id, n in enumerate(names):
+        n = remap_name.get(n, n)
+        # unused materials never appear on faces; map them anywhere
+        id_remap[old_id] = new_names.index(n) if n in used else 0
+    for o in f.objects:
+        for g in o.groups:
+            for face in g.faces:
+                face.material = id_remap[face.material]
+    mats = [mtl_lib[n] for n in new_names]
+
+    mesh = obj_io.compute_tri_mesh(f)
+    mat_params = [material_to_params(m) for m in mats]
+
+    # triangle lights from emissive materials
+    ke_table = np.asarray([p["ke"] for p in mat_params], np.float32)
+    emissive_tri = np.asarray(
+        [mat_params[m]["emissive"] for m in mesh.tri_materials], bool)
+    lights, light_ids = light_mod.build_light_table(mesh, ke_table,
+                                                    emissive_tri)
+    num_lights = int((lights["kind"] == light_mod.TRIANGLE).sum()) or 1
+
+    bvh = build_bvh(mesh.vertices, mesh.indices, arity=arity)
+
+    mat_table = {
+        "kind": jnp.asarray([p["kind"] for p in mat_params], jnp.int32),
+        "kd": jnp.asarray([p["kd"] for p in mat_params], jnp.float32),
+        "ks": jnp.asarray([p["ks"] for p in mat_params], jnp.float32),
+        "ns": jnp.asarray([p["ns"] for p in mat_params], jnp.float32),
+        "ni": jnp.asarray([p["ni"] for p in mat_params], jnp.float32),
+        "tf": jnp.asarray([p["tf"] for p in mat_params], jnp.float32),
+        "mix_k": jnp.asarray([p["mix_k"] for p in mat_params], jnp.float32),
+        "emissive": jnp.asarray([p["emissive"] for p in mat_params], bool),
+    }
+
+    device = {
+        "bvh": bvh_to_device(bvh),
+        "vertices": jnp.asarray(mesh.vertices),
+        "normals": jnp.asarray(mesh.normals),
+        "face_normals": jnp.asarray(mesh.face_normals),
+        "texcoords": jnp.asarray(mesh.texcoords),
+        "indices": jnp.asarray(mesh.indices.reshape(-1, 4)),
+        "mat_table": mat_table,
+        "lights": {k: jnp.asarray(v) for k, v in lights.items()},
+        "light_ids": jnp.asarray(light_ids),
+        "num_lights": num_lights,
+        "max_path_len": max_path_len,
+    }
+    return CompiledScene(device=device, mesh=mesh, materials=new_names,
+                         mat_params=mat_params, num_lights=num_lights)
+
+
+def _mat_eq(a, b):
+    return (a.ka == b.ka and a.kd == b.kd and a.ks == b.ks and a.ke == b.ke
+            and a.ns == b.ns and a.ni == b.ni and a.tf == b.tf
+            and a.illum == b.illum and a.map_kd == b.map_kd
+            and a.map_ks == b.map_ks and a.map_ke == b.map_ke)

@@ -1,0 +1,83 @@
+"""End-to-end path-tracer tests on the cornell box fixture.
+
+The reference's quality gate renders cornell with --eye 0 1 2.7 --dir 0 0 -1
+(default 1080x720, fov 60, spp 4) for 50 iterations and MSE-compares
+against testing/ref-cornell.png (cmake/test/run_rodent.cmake). Full-res
+golden comparison runs on TPU via tools/render + bench; here we render a
+small image on CPU and check physical properties + a loose comparison
+against the downsampled golden.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from rodent_tpu.io import png
+from rodent_tpu.render.camera import Camera
+from rodent_tpu.render.compiler import compile_obj
+from rodent_tpu.render import film as film_mod
+from rodent_tpu.render.integrator import render_iteration
+
+REF = "/root/reference/testing"
+W, H = 96, 64
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return compile_obj(f"{REF}/cornell_box.obj", max_path_len=8)
+
+
+@pytest.fixture(scope="module")
+def cornell_img(cornell):
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
+    film = film_mod.new_film(W, H)
+    iters = 4
+    for i in range(iters):
+        film = render_iteration(cornell.device, cam, film, W, H, 4, i)
+    return film_mod.tonemap(film, W, H, iters * 4), np.asarray(film)
+
+
+def test_scene_compile(cornell):
+    # cleanup_obj dedups identical materials: the five white walls/boxes
+    # collapse into one, leaving floor/rightWall/leftWall/light
+    assert cornell.num_lights == 2  # light quad = 2 triangles
+    assert len(cornell.materials) == 4
+    dev = cornell.device
+    assert int(dev["indices"].shape[0]) == 36
+    # light_ids nonzero only for the light quad's triangles
+    lids = np.asarray(dev["light_ids"])
+    assert (lids != 0).sum() == 1  # ids are 0-based; one tri has id 1
+    emissive = np.asarray(dev["mat_table"]["emissive"])
+    assert emissive.sum() == 1
+
+
+def test_render_finite_and_lit(cornell_img):
+    img, raw = cornell_img
+    assert np.isfinite(raw).all()
+    assert raw.min() >= 0.0
+    # image must not be black or constant
+    assert img.mean() > 10
+    assert img.std() > 10
+
+
+def test_render_colors(cornell_img):
+    img, _ = cornell_img
+    h, w, _ = img.shape
+    # left wall red-dominant, right wall green-dominant
+    left = img[h // 2, 2:6].mean(axis=0).astype(np.int32)
+    right = img[h // 2, -6:-2].mean(axis=0).astype(np.int32)
+    assert left[0] > left[1] + 10 and left[0] > left[2] + 10
+    assert right[1] > right[0] + 10 and right[1] > right[2] + 10
+    # ceiling light region is saturated white-ish
+    light = img[2:5, w // 2 - 4:w // 2 + 4].mean(axis=(0, 1))
+    assert light[0] > 240
+
+
+def test_render_against_downsampled_golden(cornell_img):
+    img, _ = cornell_img
+    ref = png.read_png(f"{REF}/ref-cornell.png")[..., :3]
+    # box-downsample the 1080x720 golden to our render size
+    fh, fw = ref.shape[0] // H, ref.shape[1] // W
+    ref_small = ref[:fh * H, :fw * W].reshape(H, fh, W, fw, 3).mean((1, 3))
+    diff = np.abs(ref_small - img.astype(np.float64))
+    # loose gate: low-spp noise + downsample blur allow ~5% mean error
+    assert diff.mean() < 14.0, f"mean abs diff {diff.mean():.2f}"

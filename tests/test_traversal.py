@@ -1,0 +1,155 @@
+"""BVH build + traversal tests: the batched XLA traversal must agree with
+the brute-force all-triangles oracle (the reference's Embree-device role,
+SURVEY.md §4) on closest-hit distance for random and structured scenes."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rodent_tpu.accel import build_bvh, WideBvh
+from rodent_tpu.io import formats, obj
+from rodent_tpu.traversal.api import (bvh_to_device, intersect_bruteforce,
+                                      make_rays, occluded, traverse)
+
+REF = "/root/reference/testing"
+
+
+def random_tri_soup(n, seed=0):
+    r = np.random.RandomState(seed)
+    base = r.randn(n, 3).astype(np.float32) * 2.0
+    v0 = base
+    v1 = base + r.randn(n, 3).astype(np.float32) * 0.5
+    v2 = base + r.randn(n, 3).astype(np.float32) * 0.5
+    verts = np.concatenate([v0, v1, v2]).astype(np.float32)
+    idx = np.stack([np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n,
+                    r.randint(0, 5, n)], axis=1).astype(np.int32)
+    return verts, idx.reshape(-1)
+
+
+def random_rays(n, seed=1, tmin=0.0, tmax=1e30):
+    r = np.random.RandomState(seed)
+    org = r.randn(n, 3).astype(np.float32) * 3.0
+    d = r.randn(n, 3).astype(np.float32)
+    return make_rays(org, d, np.full(n, tmin, np.float32),
+                     np.full(n, tmax, np.float32))
+
+
+def check_match(bvh, rays, atol=1e-3):
+    dev = bvh_to_device(bvh)
+    got = traverse(dev, rays)
+    want = intersect_bruteforce(dev, rays)
+    got_t = np.asarray(got["t"])
+    want_t = np.asarray(want["t"])
+    np.testing.assert_allclose(got_t, want_t, atol=atol, rtol=1e-4)
+    # same hit/miss classification
+    np.testing.assert_array_equal(np.asarray(got["prim_id"]) >= 0,
+                                  np.asarray(want["prim_id"]) >= 0)
+    return got, want
+
+
+def test_bvh_invariants_random():
+    verts, idx = random_tri_soup(300)
+    bvh = build_bvh(verts, idx, arity=8)
+    assert bvh.arity == 8
+    # every original tri appears exactly once among valid lanes
+    pid = bvh.prim_id.reshape(-1)
+    valid = pid != -1
+    real = pid[valid] & 0x7FFFFFFF
+    assert sorted(real.tolist()) == list(range(300))
+    # child encoding: inner refs in range, leaf refs in range
+    ch = bvh.child.reshape(-1)
+    inner = ch[ch > 0]
+    leaf = ch[ch < 0]
+    assert (inner - 1 < bvh.num_nodes).all()
+    assert ((~leaf) < bvh.num_packets).all()
+    # empty slots have inverted (inf) bounds
+    empty = bvh.child == 0
+    assert (bvh.bounds[:, 0, :][empty] == np.inf).all()
+
+
+@pytest.mark.parametrize("arity", [2, 4, 8])
+def test_traversal_matches_bruteforce_random(arity):
+    verts, idx = random_tri_soup(257, seed=3)
+    bvh = build_bvh(verts, idx, arity=arity, packet=4)
+    rays = random_rays(512, seed=7)
+    check_match(bvh, rays)
+
+
+def test_traversal_cornell_primary():
+    mesh, _, _ = obj.load_scene_mesh(f"{REF}/cornell_box.obj")
+    bvh = build_bvh(mesh.vertices, mesh.indices, arity=8)
+    # primary rays from the reference camera (--eye 0 1 2.7 --dir 0 0 -1)
+    W = H = 32
+    xs = (np.arange(W) + 0.5) / W * 2 - 1
+    ys = 1 - (np.arange(H) + 0.5) / H * 2
+    kx, ky = np.meshgrid(xs, ys)
+    w = np.tan(np.radians(60.0) / 2)
+    d = np.stack([kx * w, ky * w, -np.ones_like(kx)], axis=-1).reshape(-1, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    org = np.tile(np.asarray([[0.0, 1.0, 2.7]], np.float32), (W * H, 1))
+    rays = make_rays(org, d.astype(np.float32),
+                     np.zeros(W * H, np.float32),
+                     np.full(W * H, 1e30, np.float32))
+    got, want = check_match(bvh, rays)
+    # everything should hit inside the box
+    assert (np.asarray(got["prim_id"]) >= 0).all()
+    # geom ids = material ids, in range
+    g = np.asarray(got["geom_id"])
+    assert g.min() >= 1 and g.max() <= 8
+
+
+def test_tmin_tmax_respected():
+    verts, idx = random_tri_soup(64, seed=5)
+    bvh = build_bvh(verts, idx)
+    dev = bvh_to_device(bvh)
+    rays_near = random_rays(128, seed=9, tmin=0.0, tmax=0.5)
+    got = traverse(dev, rays_near)
+    t = np.asarray(got["t"])
+    hit = np.asarray(got["prim_id"]) >= 0
+    assert (t[hit] <= 0.5).all()
+    # miss t stays at tmax
+    np.testing.assert_allclose(t[~hit], 0.5, atol=0)
+
+
+def test_occluded_agrees_with_closest():
+    verts, idx = random_tri_soup(200, seed=11)
+    bvh = build_bvh(verts, idx)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(256, seed=13, tmax=2.0)
+    blocked = np.asarray(occluded(dev, rays))
+    closest = np.asarray(traverse(dev, rays)["prim_id"]) >= 0
+    np.testing.assert_array_equal(blocked, closest)
+
+
+def test_bvh_survives_file_roundtrip(tmp_path):
+    verts, idx = random_tri_soup(100, seed=17)
+    bvh = build_bvh(verts, idx, arity=8)
+    p = tmp_path / "s.bvh"
+    formats.write_bvh(p, bvh.to_block())
+    back = WideBvh.from_block(formats.read_bvh(p, formats.BVH8_TRI4))
+    rays = random_rays(128, seed=19)
+    a = traverse(bvh_to_device(bvh), rays)
+    b = traverse(bvh_to_device(back), rays)
+    np.testing.assert_array_equal(np.asarray(a["t"]), np.asarray(b["t"]))
+    np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                  np.asarray(b["prim_id"]))
+
+
+def test_single_triangle_uv():
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.asarray([0, 1, 2, 0], np.int32)
+    bvh = build_bvh(verts, idx)
+    dev = bvh_to_device(bvh)
+    org = np.asarray([[0.25, 0.25, 1.0], [0.6, 0.3, -2.0], [2.0, 2.0, 1.0]],
+                     np.float32)
+    d = np.asarray([[0, 0, -1], [0, 0, 1], [0, 0, -1]], np.float32)
+    rays = make_rays(org, d, np.zeros(3, np.float32),
+                     np.full(3, 1e30, np.float32))
+    hit = traverse(dev, rays)
+    t = np.asarray(hit["t"])
+    np.testing.assert_allclose(t[:2], [1.0, 2.0], atol=1e-6)
+    assert np.asarray(hit["prim_id"])[2] == -1
+    # barycentric convention: u along v0->v1, v along v0->v2
+    np.testing.assert_allclose(np.asarray(hit["u"])[0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hit["v"])[0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hit["u"])[1], 0.6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hit["v"])[1], 0.3, atol=1e-5)
