@@ -1,0 +1,84 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+The reference is single-node (SURVEY.md §2.5: no distributed backend —
+multi-GPU only as independent device registries, interface.cpp:339). This
+component is therefore new, not a port: the renderer's natural parallel
+axes on a TPU pod are
+
+- "px" (data parallel over pixels): the image plane is tiled across
+  devices; the scene/BVH is replicated; no communication is needed during
+  tracing, and the film shards compose the full image (the multi-device
+  analog of cpu_parallel_tiles, render/mapping_cpu.impala:3-33);
+- "sp" (sample parallel): devices render *different samples* of the same
+  pixels; their partial films are combined with a psum over ICI — the
+  progressive-accumulation axis (driver.cpp:279-325) spread over chips.
+
+Both axes run inside one shard_map, so XLA sees a single SPMD program and
+inserts the psum over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render.integrator import render_sample
+
+
+def make_mesh(n_px=None, n_sp=1, devices=None):
+    """Creates a ("sp", "px") mesh. Defaults to all devices on the px
+    axis (pure image-plane data parallelism)."""
+    devices = devices if devices is not None else jax.devices()
+    if n_px is None:
+        n_px = len(devices) // n_sp
+    devs = np.asarray(devices[:n_px * n_sp]).reshape(n_sp, n_px)
+    return Mesh(devs, axis_names=("sp", "px"))
+
+
+def shard_scene(scene, mesh):
+    """Replicates scene arrays across the mesh."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, repl)
+                        if hasattr(x, "shape") else x, scene)
+
+
+def render_iteration_sharded(scene, camera, film, width, height, spp,
+                             iteration, mesh):
+    """One progressive iteration over the mesh.
+
+    film: (W*H, 3) float32, sharded along "px". Each px-shard owns a
+    contiguous pixel strip; each sp-rank traces spp/|sp| samples of it and
+    the partials are psum'd over "sp".
+    """
+    n_sp = mesh.shape["sp"]
+    n_px = mesh.shape["px"]
+    total = width * height
+    assert total % n_px == 0, "pixel count must divide the px axis"
+    assert spp % n_sp == 0, "spp must divide the sp axis"
+    local = total // n_px
+    spp_local = spp // n_sp
+
+    film_sharding = NamedSharding(mesh, P("px"))
+    film = jax.device_put(film, film_sharding)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("px"),),
+             out_specs=P("px"), check_vma=False)
+    def step(film_local):
+        scene_local = scene  # replicated closure capture
+        px_rank = jax.lax.axis_index("px")
+        sp_rank = jax.lax.axis_index("sp")
+        pixel_ids = px_rank * local + jnp.arange(local, dtype=jnp.int32)
+
+        def body(i, f):
+            s = sp_rank * spp_local + i
+            return render_sample(scene_local, camera, f, width, height,
+                                 s, iteration, pixel_ids=pixel_ids)
+
+        partial_film = jax.lax.fori_loop(
+            0, spp_local, body, jnp.zeros_like(film_local))
+        return film_local + jax.lax.psum(partial_film, "sp")
+
+    return jax.jit(step)(film)

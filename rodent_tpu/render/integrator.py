@@ -192,20 +192,28 @@ def _shade(scene, rays, hit, state, film):
     return film, next_rays, next_state, continue_
 
 
-def render_sample(scene, camera, film, width, height, sample, iteration):
-    """Traces one sample per pixel to completion (one wavefront pass)."""
-    n = width * height
-    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+def render_sample(scene, camera, film, width, height, sample, iteration,
+                  pixel_ids=None):
+    """Traces one sample per pixel to completion (one wavefront pass).
+    pixel_ids indexes the *global* image; film may be a local shard the
+    same length as pixel_ids' local span when used under shard_map (the
+    scatter indices must then be local — see parallel.mesh)."""
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+    n = pixel_ids.shape[0]
     org, d, rnd = emit_camera_rays(camera, width, height, sample, iteration,
                                    pixel_ids)
     rays = make_rays(org, d, jnp.zeros(n, jnp.float32),
                      jnp.full(n, FLT_MAX, jnp.float32))
+    # film scatter index: local when film is a shard (len(film) == n)
+    film_index = (pixel_ids if film.shape[0] != n
+                  else jnp.arange(n, dtype=jnp.int32))
     state = {
         "rnd": rnd,
         "contrib": jnp.ones((n, 3), jnp.float32),
         "mis": jnp.zeros(n, jnp.float32),
         "depth": jnp.zeros(n, jnp.int32),
-        "pixel": pixel_ids,
+        "pixel": film_index,
         "alive": jnp.ones(n, bool),
     }
 

@@ -1,0 +1,43 @@
+"""Multi-device sharded rendering tests on the 8-virtual-device CPU mesh:
+the sharded render must reproduce the single-device render exactly (same
+RNG seeds per (sample, pixel), so results are bit-identical)."""
+import numpy as np
+import pytest
+import jax
+
+from rodent_tpu.parallel import make_mesh, render_iteration_sharded
+from rodent_tpu.render.camera import Camera
+from rodent_tpu.render.compiler import compile_obj
+from rodent_tpu.render import film as film_mod
+from rodent_tpu.render.integrator import render_iteration
+
+REF = "/root/reference/testing"
+W, H = 32, 32
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return compile_obj(f"{REF}/cornell_box.obj", max_path_len=4)
+
+
+@pytest.fixture(scope="module")
+def single_device_film(cornell):
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
+    film = film_mod.new_film(W, H)
+    return np.asarray(render_iteration(cornell.device, cam, film,
+                                       W, H, 4, 0))
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_sp,n_px", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_matches_single(cornell, single_device_film, n_sp, n_px):
+    mesh = make_mesh(n_px=n_px, n_sp=n_sp)
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
+    film = film_mod.new_film(W, H)
+    out = render_iteration_sharded(cornell.device, cam, film, W, H, 4, 0,
+                                   mesh)
+    np.testing.assert_allclose(np.asarray(out), single_device_film,
+                               rtol=1e-5, atol=1e-5)
