@@ -1,0 +1,85 @@
+"""render: the interactive driver analog (headless).
+
+CLI mirrors src/driver/driver.cpp:169-232 (--eye/--dir/--up/--fov/
+--width/--height/--bench/-o) plus scene/spp/max-path-len which the
+reference bakes in at converter time. Progressive accumulation, bench mode
+reporting "# min/med/max (Msamples/s)" exactly like driver.cpp:341-348.
+
+Usage:
+  python -m rodent_tpu.tools.render scene.obj --bench 50 \
+      --eye 0 1 2.7 --dir 0 0 -1 -o out.png
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="render")
+    p.add_argument("scene")
+    p.add_argument("--width", type=int, default=1080)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--eye", type=float, nargs=3, default=(0.0, 0.0, 0.0))
+    p.add_argument("--dir", type=float, nargs=3, default=(0.0, 0.0, 1.0))
+    p.add_argument("--up", type=float, nargs=3, default=(0.0, 1.0, 0.0))
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--bench", type=int, default=1,
+                   help="number of progressive iterations")
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--max-path-len", type=int, default=64)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="render over all devices (image-plane sharding)")
+    args = p.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from ..render import film as film_mod
+    from ..render.camera import Camera
+    from ..render.compiler import compile_obj
+    from ..render.integrator import render_iteration
+    from ..io import png
+
+    scene = compile_obj(args.scene, max_path_len=args.max_path_len)
+    cam = Camera.make(args.eye, args.dir, args.up, args.fov,
+                      args.width, args.height)
+    film = film_mod.new_film(args.width, args.height)
+
+    if args.sharded:
+        from ..parallel import make_mesh, render_iteration_sharded
+        mesh = make_mesh()
+        step = lambda f, i: render_iteration_sharded(
+            scene.device, cam, f, args.width, args.height, args.spp, i, mesh)
+    else:
+        step = lambda f, i: render_iteration(
+            scene.device, cam, f, args.width, args.height, args.spp, i)
+
+    samples_per_iter = args.width * args.height * args.spp
+    times = []
+    for it in range(args.bench):
+        t0 = time.perf_counter()
+        film = step(film, it)
+        jax.block_until_ready(film)
+        times.append(time.perf_counter() - t0)
+
+    # skip the compile iteration in stats when we have more than one
+    stats = times[1:] if len(times) > 1 else times
+    msamples = sorted(samples_per_iter / t * 1e-6 for t in stats)
+    print("# {:.2f}/{:.2f}/{:.2f} (min/med/max Msamples/s)".format(
+        msamples[0], msamples[len(msamples) // 2], msamples[-1]))
+
+    if args.output:
+        img = film_mod.tonemap(film, args.width, args.height, args.bench)
+        png.write_png(args.output, img)
+        print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+"""CLI tool tests: ray_gen -> bvh_extractor -> bench_traversal -> fbuf2png
+pipeline on the cornell fixture, plus converter data/ round trip — the
+reference's ctest traversal flow (cmake/test/run_traversal.cmake)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rodent_tpu.io import formats, png
+
+REF = "/root/reference/testing"
+
+
+def run_tool(mod, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", f"rodent_tpu.tools.{mod}", *map(str, args)],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 0, f"{mod} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+def test_full_traversal_pipeline(tmp_path):
+    rays_f = tmp_path / "cam.rays"
+    bvh_f = tmp_path / "cornell.bvh"
+    fbuf_f = tmp_path / "out.fbuf"
+    png_f = tmp_path / "out.png"
+
+    out = run_tool("ray_gen", "primary", 0, 1, 2.7, 0, 0, -1, 0, 1, 0,
+                   60, 64, 48, rays_f)
+    assert "3072 rays" in out
+    out = run_tool("bvh_extractor", f"{REF}/cornell_box.obj", bvh_f,
+                   "--width", 8, "--width", 4)
+    assert "BVH8" in out and "BVH4" in out
+    out = run_tool("bench_traversal", "-bvh", bvh_f, "-ray", rays_f,
+                   "--tmin", 0.01, "--tmax", 5000, "--bench", 2,
+                   "-o", fbuf_f, "--cpu")
+    assert "Mrays/sec" in out
+    # every primary ray hits inside the closed box
+    assert "3072 intersection(s)" in out
+    t = formats.read_fbuf(fbuf_f)
+    assert len(t) == 3072 and (t > 0.5).all() and (t < 10).all()
+
+    run_tool("fbuf2png", "-n", "-sx", 64, "-sy", 48, fbuf_f, png_f)
+    img = png.read_png(png_f)
+    assert img.shape == (48, 64, 4)
+    assert img[..., 0].std() > 5  # depth variation visible
+
+    # bvh4 and bvh8 blocks must give identical hit distances
+    fbuf4 = tmp_path / "out4.fbuf"
+    run_tool("bench_traversal", "-bvh", bvh_f, "-ray", rays_f,
+             "--tmin", 0.01, "--tmax", 5000, "--bvh-width", 4,
+             "-o", fbuf4, "--cpu")
+    t4 = formats.read_fbuf(fbuf4)
+    np.testing.assert_allclose(t4, t, rtol=1e-5, atol=1e-5)
+
+
+def test_converter_roundtrip(tmp_path):
+    from rodent_tpu.tools.converter import read_bvh_bin, write_scene_data
+    data = tmp_path / "data"
+    program = write_scene_data(f"{REF}/cornell_box.obj", str(data))
+    assert program["num_lights"] == 2
+    assert (data / "scene.json").exists()
+    verts = formats.read_lz4_buffer(data / "vertices.bin",
+                                    np.float32).reshape(-1, 3)
+    idx = formats.read_lz4_buffer(data / "indices.bin",
+                                  np.int32).reshape(-1, 4)
+    assert len(idx) == 36
+    assert idx[:, :3].max() < len(verts)
+    light_ids = formats.read_lz4_buffer(data / "light_ids.bin", np.int32)
+    assert (light_ids != 0).sum() == 1
+    nodes, tris = read_bvh_bin(data / "bvh.bin")
+    assert len(nodes) >= 1 and len(tris) >= 9
+    info = json.loads((data / "scene.json").read_text())
+    assert any(m["emissive"] for m in info["materials"])
+
+
+def test_render_tool_bench_output(tmp_path):
+    out_png = tmp_path / "cornell.png"
+    out = run_tool("render", f"{REF}/cornell_box.obj", "--width", 48,
+                   "--height", 32, "--eye", 0, 1, 2.7, "--dir", 0, 0, -1,
+                   "--bench", 2, "--spp", 1, "--max-path-len", 4,
+                   "-o", out_png, "--cpu")
+    assert "(min/med/max Msamples/s)" in out
+    img = png.read_png(out_png)
+    assert img.shape == (32, 48, 3)
+    assert img.mean() > 5
