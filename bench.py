@@ -19,9 +19,12 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from rodent_tpu.accel import build_bvh
-    from rodent_tpu.traversal.api import bvh_to_device, make_rays, traverse
+    from rodent_tpu.traversal.api import bvh_to_device, make_rays
+    from rodent_tpu.traversal.tiled import traverse_tiled as traverse
     from rodent_tpu.utils.testscenes import hall_primary_rays, make_hall
 
     verts, idx = make_hall(260_000)
@@ -34,17 +37,20 @@ def main():
                      jnp.zeros(n, jnp.float32),
                      jnp.full(n, 3.402823466e38, jnp.float32))
 
+    chunk = 131072
     fn = jax.jit(lambda r: traverse(dev, r))
+    chunks = [jax.tree.map(lambda x: x[i:i + chunk], rays)
+              for i in range(0, n, chunk)]
     # warmup / compile
-    hit = fn(rays)
+    hit = fn(chunks[0])
     jax.block_until_ready(hit["t"])
     hit_frac = float(jnp.mean((hit["prim_id"] >= 0).astype(jnp.float32)))
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        hit = fn(rays)
-    jax.block_until_ready(hit["t"])
+        hits = [fn(c) for c in chunks]
+    jax.block_until_ready(hits[-1]["t"])
     dt = time.perf_counter() - t0
     mrays = n * iters / dt / 1e6
 

@@ -37,7 +37,9 @@ import jax.numpy as jnp
 from ..core import sampling
 from ..core.math import FLT_MAX, dot, lerp2, make_orthonormal_basis, normalize
 from ..core.rng import randf, seed_camera_rays
-from ..traversal.api import make_rays, occluded, traverse
+from ..traversal.api import make_rays
+from ..traversal.tiled import occluded_tiled as occluded
+from ..traversal.tiled import traverse_tiled as traverse
 from . import bsdf as bsdf_mod
 from . import light as light_mod
 
@@ -240,3 +242,97 @@ def render_iteration(scene, camera, film, width, height, spp, iteration):
         return render_sample(scene, camera, film, width, height, s,
                              iteration)
     return jax.lax.fori_loop(0, spp, body, film)
+
+
+@partial(jax.jit, static_argnames=("camera", "width", "height", "spp",
+                                   "pool"),
+         donate_argnames=("film",))
+def render_iteration_persistent(scene, camera, film, width, height, spp,
+                                iteration, pool=None):
+    """Persistent-wavefront iteration: the TPU form of the reference's
+    megakernel regeneration trick (gpu_mega_kernel_trace,
+    src/render/mapping_gpu.impala:371-474 — dead paths immediately pull the
+    next sample id from a work counter so lanes never idle).
+
+    A fixed pool of ray slots processes all width*height*spp samples of
+    the iteration: when a path terminates, its slot re-emits a camera ray
+    for the next unprocessed sample. Utilization stays ~100% until the
+    tail instead of decaying per bounce. RNG seeds depend only on
+    (sample, iter, x, y) (renderer.impala:27-33), so the accumulated film
+    is bit-identical to render_iteration's.
+    """
+    total = width * height * spp
+    pool = pool or min(total, 1 << 18)
+
+    # initial emission: slots take global sample ids 0..pool-1
+    sample_id = jnp.arange(pool, dtype=jnp.int32)
+    next_free = jnp.int32(pool)
+
+    def emit_rays(sample_id):
+        pix = jnp.minimum(sample_id // spp, width * height - 1)
+        s = sample_id % spp
+        x = (pix % width).astype(jnp.uint32)
+        y = (pix // width).astype(jnp.uint32)
+        from ..core.rng import seed_camera_rays
+        rnd = seed_camera_rays(s.astype(jnp.uint32), jnp.uint32(iteration),
+                               x, y)
+        jx, rnd = randf(rnd)
+        jy, rnd = randf(rnd)
+        kx = 2.0 * (x.astype(jnp.float32) + jx) / width - 1.0
+        ky = 1.0 - 2.0 * (y.astype(jnp.float32) + jy) / height
+        org, d = camera.generate_rays(kx, ky)
+        return org, d, rnd, pix
+
+    org, d, rnd, pix = emit_rays(sample_id)
+    n = pool
+    rays = make_rays(org, d, jnp.zeros(n, jnp.float32),
+                     jnp.full(n, FLT_MAX, jnp.float32))
+    live0 = sample_id < total
+    rays["tmax"] = jnp.where(live0, rays["tmax"], -1.0)
+    state = {
+        "rnd": rnd,
+        "contrib": jnp.ones((n, 3), jnp.float32),
+        "mis": jnp.zeros(n, jnp.float32),
+        "depth": jnp.zeros(n, jnp.int32),
+        "pixel": pix,
+        "alive": live0,
+    }
+
+    def cond(c):
+        return jnp.any(c["state"]["alive"])
+
+    def body(c):
+        rays, state, film = c["rays"], c["state"], c["film"]
+        next_free = c["next_free"]
+        hit = traverse(scene["bvh"], rays)
+        film, rays, state, _ = _shade(scene, rays, hit, state, film)
+
+        # regenerate: dead slots pull the next unprocessed sample id
+        dead = ~state["alive"]
+        order = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        new_id = next_free + order
+        can = dead & (new_id < total)
+        next_free = jnp.minimum(next_free + jnp.sum(dead.astype(jnp.int32)),
+                                jnp.int32(total))
+
+        norg, nd, nrnd, npix = emit_rays(jnp.where(can, new_id, 0))
+        fresh = make_rays(norg, nd, jnp.zeros(n, jnp.float32),
+                          jnp.full(n, FLT_MAX, jnp.float32))
+        canc = can[:, None]
+        rays = {kk: jnp.where(canc if rays[kk].ndim == 2 else can,
+                              fresh[kk], rays[kk]) for kk in rays}
+        state = {
+            "rnd": jnp.where(can, nrnd, state["rnd"]),
+            "contrib": jnp.where(canc, 1.0, state["contrib"]),
+            "mis": jnp.where(can, 0.0, state["mis"]),
+            "depth": jnp.where(can, 0, state["depth"]),
+            "pixel": jnp.where(can, npix, state["pixel"]),
+            "alive": state["alive"] | can,
+        }
+        return {"rays": rays, "state": state, "film": film,
+                "next_free": next_free}
+
+    out = jax.lax.while_loop(cond, body, {
+        "rays": rays, "state": state, "film": film,
+        "next_free": next_free})
+    return out["film"]

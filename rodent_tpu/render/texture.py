@@ -1,0 +1,79 @@
+"""Images and textures: border handling + filtering.
+
+Matches src/render/image.impala: an Image is pixel data + size;
+BorderHandling clamps or repeats uv (:40-54); ImageFilter picks nearest or
+bilinear (:56-84); make_texture composes border o filter (:86-92).
+Batched: uv is (..., 2), output (..., 3). PNG/JPG inputs are converted to
+linear space with gamma 2.2 like the reference loader
+(src/driver/image.cpp:10-18).
+
+The reference's texture *descriptor* is specialized away at compile time
+(bench_interface.impala measures exactly this); here border/filter are
+Python-level choices baked into the jitted program the same way.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax.numpy as jnp
+
+BORDER_CLAMP = "clamp"
+BORDER_REPEAT = "repeat"
+FILTER_NEAREST = "nearest"
+FILTER_BILINEAR = "bilinear"
+
+
+def image_from_u8(rgba, gamma=2.2):
+    """u8 (H, W, C) -> linear f32 (H, W, 3) (image.cpp:10-18 applies
+    gamma on load)."""
+    img = np.asarray(rgba, np.float32)[..., :3] / 255.0
+    return np.power(img, gamma).astype(np.float32)
+
+
+def _apply_border(u, v, mode):
+    if mode == BORDER_CLAMP:
+        return jnp.clip(u, 0.0, 1.0), jnp.clip(v, 0.0, 1.0)
+    if mode == BORDER_REPEAT:
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
+        return u, v
+    raise ValueError(mode)
+
+
+def sample_texture(image, uv, border=BORDER_REPEAT, filter=FILTER_BILINEAR):
+    """Samples a linear (H, W, 3) image at uv (..., 2) -> (..., 3)."""
+    image = jnp.asarray(image)
+    h, w = image.shape[0], image.shape[1]
+    u, v = _apply_border(uv[..., 0], uv[..., 1], border)
+    if filter == FILTER_NEAREST:
+        # image.impala:58-63: floor to texel
+        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        return image[y, x]
+    # bilinear (image.impala:65-84): texel centers at integer corners
+    x = u * w
+    y = v * h
+    x0 = jnp.clip(jnp.floor(x - 0.5), 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y - 0.5), 0, h - 1).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = jnp.clip(x - 0.5 - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - 0.5 - y0, 0.0, 1.0)[..., None]
+    c00 = image[y0, x0]
+    c01 = image[y0, x1]
+    c10 = image[y1, x0]
+    c11 = image[y1, x1]
+    return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+            + (c10 * (1 - fx) + c11 * fx) * fy)
+
+
+def make_texture(image, border=BORDER_REPEAT, filter=FILTER_BILINEAR):
+    """Returns uv -> color closure (make_texture, image.impala:86-92)."""
+    return partial(sample_texture, image, border=border, filter=filter)
+
+
+def load_texture(path, gamma=2.2):
+    """PNG path -> linear (H, W, 3) f32 (device.load_png role)."""
+    from ..io import png
+    return image_from_u8(png.read_png(path), gamma)

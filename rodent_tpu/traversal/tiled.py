@@ -1,0 +1,250 @@
+"""Tile-layout BVH traversal: the production TPU path.
+
+Why this exists (measured on v5e): XLA tiles a (B, k) array with small k
+as (8, 128) vector tiles along the LAST dim, so every (B, 1)/(B, 8)
+intermediate wastes up to 127/128 lanes; inside the traversal loop that
+made each fused op ~50-100x slower than peak. This implementation keeps
+every per-ray scalar in (R, 128) full-tile layout (B = R*128):
+
+- the traversal stack is a tuple of S (R, 128) arrays (loop-carried
+  pytree); pop/push are one-hot select chains that XLA fuses into single
+  passes over the stack;
+- node/tri fetches stay single flat row gathers (B, 56) — the only
+  layout-efficient random access — followed by one transpose/reshape to
+  (56, R, 128) so each component is a full-tile (R, 128) slice;
+- child ordering uses the Batcher sorting network on (R, 128) columns
+  (the data-parallel analog of src/traversal/stack.impala sort_n).
+
+Semantics are identical to traversal.api.traverse (same reference
+semantics: src/traversal/mapping_cpu.impala:138-384, intersection.impala
+:164-208); api.traverse remains as the readable oracle and both are
+cross-checked in tests.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .primitives import empty_hit
+
+STACK_DEPTH = 32
+_NEG0 = jnp.int32(-2147483648)
+
+_SORT_NETWORKS = {
+    2: [(0, 1)],
+    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
+    8: [(0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+        (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)],
+}
+
+
+def _pad_to_tiles(x, r128):
+    b = x.shape[0]
+    pad = r128 * 128 - b
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+
+def _tile(x, r128):
+    """(B,) -> (R, 128)."""
+    return _pad_to_tiles(x, r128).reshape(r128, 128)
+
+
+def traverse_tiled(dev, rays, any_hit=False, stack_depth=None):
+    """Tile-layout traversal; same contract as api.traverse."""
+    B = rays["org"].shape[0]
+    arity = dev["nodes"].shape[1] // 7
+    m = dev["tris"].shape[1] // 14
+    S = stack_depth or STACK_DEPTH
+    R = -(-B // 128)
+
+    def t1(x):
+        return _tile(x, R)
+
+    org = [t1(rays["org"][:, i]) for i in range(3)]
+    dirv = [t1(rays["dir"][:, i]) for i in range(3)]
+    inv_d = [t1(rays["inv_dir"][:, i]) for i in range(3)]
+    inv_o = [t1(rays["inv_org"][:, i]) for i in range(3)]
+    tmin = t1(rays["tmin"])
+    tmax = t1(rays["tmax"])
+    # padded rays must not traverse
+    if R * 128 != B:
+        pad_dead = _tile(jnp.ones(B, jnp.int32), R) == 0
+        tmax = jnp.where(pad_dead, -1.0, tmax)
+
+    zero = jnp.zeros((R, 128), jnp.int32)
+    stack = (jnp.ones((R, 128), jnp.int32),) + (zero,) * (S - 1)
+    sptr = jnp.where(tmax >= tmin, jnp.int32(1), jnp.int32(0))
+
+    state = {
+        "stack": stack,
+        "sptr": sptr,
+        "t": tmax,
+        "u": jnp.zeros((R, 128), jnp.float32),
+        "v": jnp.zeros((R, 128), jnp.float32),
+        "prim_id": jnp.full((R, 128), -1, jnp.int32),
+        "geom_id": jnp.full((R, 128), -1, jnp.int32),
+    }
+
+    def gather_cols(table, idx):
+        """Flat row gather + relayout to component-major (C, R, 128)."""
+        rows = table[idx.reshape(R * 128)]          # (B', C)
+        return rows.T.reshape(table.shape[1], R, 128)
+
+    def cond(s):
+        return jnp.any(s["sptr"] > 0)
+
+    def body(state):
+        stack = list(state["stack"])
+        sptr = state["sptr"]
+        t_cur = state["t"]
+        active = sptr > 0
+        top = sptr - 1
+
+        # ---- pop: one-hot select over the stack tuple ----
+        code = zero
+        for s in range(S):
+            code = jnp.where(top == s, stack[s], code)
+        code = jnp.where(active, code, 0)
+        sptr = jnp.where(active, top, sptr)
+
+        is_node = code > 0
+        is_leaf = code < 0
+
+        # ---- wide node: one gather + component-major slab tests ----
+        nidx = jnp.where(is_node, code - 1, 0)
+        nc = gather_cols(dev["nodes"], nidx)        # (7A, R, 128)
+        children = []
+        entry = []
+        chit = []
+        for c in range(arity):
+            tx0 = nc[0 * arity + c] * inv_d[0] + inv_o[0]
+            tx1 = nc[1 * arity + c] * inv_d[0] + inv_o[0]
+            ty0 = nc[2 * arity + c] * inv_d[1] + inv_o[1]
+            ty1 = nc[3 * arity + c] * inv_d[1] + inv_o[1]
+            tz0 = nc[4 * arity + c] * inv_d[2] + inv_o[2]
+            tz1 = nc[5 * arity + c] * inv_d[2] + inv_o[2]
+            ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                          jnp.minimum(ty0, ty1)),
+                              jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+            ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
+            ch = jax.lax.bitcast_convert_type(nc[6 * arity + c], jnp.int32)
+            children.append(ch)
+            entry.append(ent)
+            chit.append((ent <= ext) & (ch != 0) & is_node)
+
+        if not any_hit:
+            keys = [jnp.where(chit[i], entry[i], jnp.inf)
+                    for i in range(arity)]
+            for i, j in _SORT_NETWORKS[arity]:
+                swap = keys[i] > keys[j]
+                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                                    jnp.where(swap, keys[i], keys[j]))
+                children[i], children[j] = (
+                    jnp.where(swap, children[j], children[i]),
+                    jnp.where(swap, children[i], children[j]))
+                chit[i], chit[j] = (jnp.where(swap, chit[j], chit[i]),
+                                    jnp.where(swap, chit[i], chit[j]))
+
+        k = chit[0].astype(jnp.int32)
+        for i in range(1, arity):
+            k = k + chit[i].astype(jnp.int32)
+
+        # ---- push: hits occupy ranks 0..k-1 (misses sank in the sort);
+        # rank r lands at stack slot sptr + k-1-r so rank 0 (nearest)
+        # ends on top. One fused pass over the stack tuple.
+        rank = zero
+        pos = []
+        for i in range(arity):
+            pos.append(jnp.where(chit[i], sptr + k - 1 - rank, -1))
+            rank = rank + chit[i].astype(jnp.int32)
+        for s in range(S):
+            v = stack[s]
+            for i in range(arity):
+                v = jnp.where(pos[i] == s, children[i], v)
+            stack[s] = v
+        sptr = sptr + jnp.where(is_node, k, 0)
+
+        # ---- leaf: one gather + M-lane Moller-Trumbore ----
+        pidx = jnp.where(is_leaf, ~code, 0)
+        tc = gather_cols(dev["tris"], pidx)         # (14M, R, 128)
+        best = None
+        for lane in range(m):
+            v0x, v0y, v0z = tc[lane], tc[m + lane], tc[2 * m + lane]
+            e1x, e1y, e1z = tc[3 * m + lane], tc[4 * m + lane], tc[5 * m + lane]
+            e2x, e2y, e2z = tc[6 * m + lane], tc[7 * m + lane], tc[8 * m + lane]
+            nx, ny, nz = tc[9 * m + lane], tc[10 * m + lane], tc[11 * m + lane]
+            pid = jax.lax.bitcast_convert_type(tc[12 * m + lane], jnp.int32)
+            gid = jax.lax.bitcast_convert_type(tc[13 * m + lane], jnp.int32)
+
+            cx, cy, cz = v0x - org[0], v0y - org[1], v0z - org[2]
+            rx = dirv[1] * cz - dirv[2] * cy
+            ry = dirv[2] * cx - dirv[0] * cz
+            rz = dirv[0] * cy - dirv[1] * cx
+            det = nx * dirv[0] + ny * dirv[1] + nz * dirv[2]
+            abs_det = jnp.abs(det)
+            sign = jnp.where(det < 0, jnp.float32(-1.0), jnp.float32(1.0))
+            u = (rx * e2x + ry * e2y + rz * e2z) * sign
+            v = (rx * e1x + ry * e1y + rz * e1z) * sign
+            t = (cx * nx + cy * ny + cz * nz) * sign
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= abs_det)
+                  & (abs_det != 0.0)
+                  & (t >= abs_det * tmin) & (t <= abs_det * t_cur)
+                  & (pid != -1) & is_leaf)
+            inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
+            key = jnp.where(ok, t * inv_det, jnp.inf)
+            cand = (key, u * inv_det, v * inv_det,
+                    pid & 0x7FFFFFFF, gid)
+            if best is None:
+                best = cand
+            else:
+                takeb = cand[0] < best[0]
+                best = tuple(jnp.where(takeb, c, b)
+                             for c, b in zip(cand, best))
+            if lane == m - 1:
+                is_last = pid < 0
+
+        bk, bu, bv, bp, bg = best
+        upd = jnp.isfinite(bk)
+        t_cur = jnp.where(upd, bk, t_cur)
+        new = {
+            "t": t_cur,
+            "u": jnp.where(upd, bu, state["u"]),
+            "v": jnp.where(upd, bv, state["v"]),
+            "prim_id": jnp.where(upd, bp, state["prim_id"]),
+            "geom_id": jnp.where(upd, bg, state["geom_id"]),
+        }
+
+        # continue multi-packet leaves (next packet code = code-1)
+        cont = is_leaf & ~is_last
+        for s in range(S):
+            stack[s] = jnp.where(cont & (sptr == s), code - 1, stack[s])
+        sptr = sptr + cont.astype(jnp.int32)
+
+        if any_hit:
+            sptr = jnp.where(new["prim_id"] >= 0, 0, sptr)
+
+        return {"stack": tuple(stack), "sptr": sptr, **new}
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    def untile(x):
+        return x.reshape(R * 128)[:B]
+
+    out = {k: untile(state[k]) for k in ("t", "u", "v", "prim_id",
+                                         "geom_id")}
+    # miss semantics: t == original tmax
+    out["t"] = jnp.where(out["prim_id"] < 0, rays["tmax"], out["t"])
+    return out
+
+
+def occluded_tiled(dev, rays):
+    hit = traverse_tiled(dev, rays, any_hit=True)
+    return hit["prim_id"] >= 0

@@ -81,3 +81,18 @@ def test_render_against_downsampled_golden(cornell_img):
     diff = np.abs(ref_small - img.astype(np.float64))
     # loose gate: low-spp noise + downsample blur allow ~5% mean error
     assert diff.mean() < 14.0, f"mean abs diff {diff.mean():.2f}"
+
+
+def test_persistent_matches_progressive(cornell):
+    """The persistent-wavefront (megakernel-regeneration analog) must
+    produce a bit-identical film: RNG streams depend only on
+    (sample, iter, x, y), not on slot scheduling."""
+    from rodent_tpu.render.integrator import render_iteration_persistent
+    from rodent_tpu.render.integrator import render_iteration as ri
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 24, 16)
+    f1 = ri(cornell.device, cam, film_mod.new_film(24, 16), 24, 16, 2, 0)
+    f2 = render_iteration_persistent(
+        cornell.device, cam, film_mod.new_film(24, 16), 24, 16, 2, 0,
+        pool=256)  # pool < total: forces regeneration
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-5, atol=1e-6)

@@ -89,3 +89,25 @@ def test_render_tool_bench_output(tmp_path):
     img = png.read_png(out_png)
     assert img.shape == (32, 48, 3)
     assert img.mean() > 5
+
+
+def test_checkpoint_resume(tmp_path):
+    from rodent_tpu.utils.checkpoint import (
+        build_bvh_cached, load_render_checkpoint, save_render_checkpoint)
+    film = np.random.rand(64, 3).astype(np.float32)
+    p = tmp_path / "ckpt.npz"
+    save_render_checkpoint(p, film, 7, scene="cornell", spp=4)
+    f2, it, meta = load_render_checkpoint(p)
+    np.testing.assert_array_equal(f2, film)
+    assert it == 7 and meta["scene"] == "cornell"
+
+    # BVH cache: second build loads from disk and traverses identically
+    from rodent_tpu.io import obj as obj_io
+    mesh, _, _ = obj_io.load_scene_mesh(f"{REF}/cornell_box.obj")
+    b1 = build_bvh_cached(mesh.vertices, mesh.indices,
+                          cache_dir=str(tmp_path / "cache"))
+    b2 = build_bvh_cached(mesh.vertices, mesh.indices,
+                          cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_array_equal(b1.child, b2.child)
+    np.testing.assert_array_equal(b1.bounds, b2.bounds)
+    assert len(list((tmp_path / "cache").glob("*.bvh"))) == 1

@@ -153,3 +153,26 @@ def test_single_triangle_uv():
     np.testing.assert_allclose(np.asarray(hit["v"])[0], 0.25, atol=1e-6)
     np.testing.assert_allclose(np.asarray(hit["u"])[1], 0.6, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hit["v"])[1], 0.3, atol=1e-5)
+
+
+def test_tiled_matches_api():
+    """The tile-layout production traversal must agree exactly with the
+    reference-layout api.traverse on hits and distances."""
+    from rodent_tpu.traversal.tiled import occluded_tiled, traverse_tiled
+    verts, idx = random_tri_soup(257, seed=23)
+    bvh = build_bvh(verts, idx, arity=8)
+    dev = bvh_to_device(bvh)
+    # 300 rays: not a multiple of 128, exercises tile padding
+    rays = random_rays(300, seed=29)
+    a = traverse(dev, rays)
+    b = traverse_tiled(dev, rays)
+    np.testing.assert_array_equal(np.asarray(a["t"]), np.asarray(b["t"]))
+    np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                  np.asarray(b["prim_id"]))
+    np.testing.assert_array_equal(np.asarray(a["geom_id"]),
+                                  np.asarray(b["geom_id"]))
+    np.testing.assert_array_equal(np.asarray(a["u"]), np.asarray(b["u"]))
+    rays2 = random_rays(256, seed=31, tmax=2.0)
+    blocked_a = np.asarray(occluded(dev, rays2))
+    blocked_b = np.asarray(occluded_tiled(dev, rays2))
+    np.testing.assert_array_equal(blocked_a, blocked_b)
