@@ -21,6 +21,7 @@ Reproduced converter behaviors:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -36,8 +37,10 @@ def _luminance(c):
     return 0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2]
 
 
-def material_to_params(mat):
-    """Maps an obj Material to (kind, params) per converter.cpp:859-927."""
+def material_to_params(mat, tex_index=None):
+    """Maps an obj Material to (kind, params) per converter.cpp:859-927.
+    tex_index maps texture file names to bank ids (-1 = untextured)."""
+    tex_index = tex_index or {}
     ke = tuple(mat.ke)
     emissive = ke != (0.0, 0.0, 0.0) or mat.map_ke != ""
     if mat.illum == 5:
@@ -68,6 +71,8 @@ def material_to_params(mat):
         "mix_k": float(mix_k),
         "emissive": bool(emissive),
         "ke": ke,
+        "kd_tex": tex_index.get(mat.map_kd, -1),
+        "ks_tex": tex_index.get(mat.map_ks, -1),
     }
 
 
@@ -127,7 +132,19 @@ def compile_obj(path, arity=8, max_path_len=64):
     mats = [mtl_lib[n] for n in new_names]
 
     mesh = obj_io.compute_tri_mesh(f)
-    mat_params = [material_to_params(m) for m in mats]
+
+    # texture bank from all referenced image files (converter.cpp images
+    # map, :595-607; gamma-2.2 to linear on load like image.cpp:10-18)
+    base = os.path.dirname(os.path.abspath(path))
+    tex_files = []
+    for m in mats:
+        for name in (m.map_kd, m.map_ks):
+            if name and name not in tex_files:
+                p_ = os.path.join(base, name)
+                if os.path.exists(p_):
+                    tex_files.append(name)
+    tex_index = {n: i for i, n in enumerate(tex_files)}
+    mat_params = [material_to_params(m, tex_index) for m in mats]
 
     # triangle lights from emissive materials
     ke_table = np.asarray([p["ke"] for p in mat_params], np.float32)
@@ -148,6 +165,8 @@ def compile_obj(path, arity=8, max_path_len=64):
         "tf": jnp.asarray([p["tf"] for p in mat_params], jnp.float32),
         "mix_k": jnp.asarray([p["mix_k"] for p in mat_params], jnp.float32),
         "emissive": jnp.asarray([p["emissive"] for p in mat_params], bool),
+        "kd_tex": jnp.asarray([p["kd_tex"] for p in mat_params], jnp.int32),
+        "ks_tex": jnp.asarray([p["ks_tex"] for p in mat_params], jnp.int32),
     }
 
     device = {
@@ -163,6 +182,12 @@ def compile_obj(path, arity=8, max_path_len=64):
         "num_lights": num_lights,
         "max_path_len": max_path_len,
     }
+    if tex_files:
+        from . import texture as tx
+        images = [tx.load_texture(os.path.join(base, n)) for n in tex_files]
+        bank, hw = tx.build_bank(images)
+        device["textures"] = jnp.asarray(bank)
+        device["tex_hw"] = jnp.asarray(hw)
     return CompiledScene(device=device, mesh=mesh, materials=new_names,
                          mat_params=mat_params, num_lights=num_lights)
 

@@ -96,6 +96,8 @@ def gather_material(scene, mat_id):
         "tf": mt["tf"][mat_id],
         "mix_k": mt["mix_k"][mat_id],
         "emissive": mt["emissive"][mat_id],
+        "kd_tex": mt["kd_tex"][mat_id],
+        "ks_tex": mt["ks_tex"][mat_id],
     }
 
 
@@ -118,6 +120,15 @@ def _shade(scene, rays, hit, state, film):
     alive = state["alive"] & (hit["prim_id"] >= 0)
     surf = surface_element(scene, rays, hit)
     mat = gather_material(scene, surf["mat_id"])
+    if "textures" in scene:
+        # textured kd/ks override constants (converter.cpp:877-895)
+        from . import texture as tx
+        kd_t = tx.sample_bank(scene["textures"], scene["tex_hw"],
+                              mat["kd_tex"], surf["uv"])
+        ks_t = tx.sample_bank(scene["textures"], scene["tex_hw"],
+                              mat["ks_tex"], surf["uv"])
+        mat["kd"] = jnp.where((mat["kd_tex"] >= 0)[:, None], kd_t, mat["kd"])
+        mat["ks"] = jnp.where((mat["ks_tex"] >= 0)[:, None], ks_t, mat["ks"])
     rnd = state["rnd"]
     out_dir = -rays["dir"]
     num_lights = scene["num_lights"]

@@ -77,3 +77,58 @@ def load_texture(path, gamma=2.2):
     """PNG path -> linear (H, W, 3) f32 (device.load_png role)."""
     from ..io import png
     return image_from_u8(png.read_png(path), gamma)
+
+
+def build_bank(images):
+    """Stacks differently-sized textures into one padded bank for
+    data-driven per-ray texture lookup (the Interface image registry role,
+    src/driver/interface.cpp:456-492, made batch-friendly).
+
+    Returns (bank (T, Hmax, Wmax, 3) f32, hw (T, 2) i32)."""
+    hmax = max(im.shape[0] for im in images)
+    wmax = max(im.shape[1] for im in images)
+    bank = np.zeros((len(images), hmax, wmax, 3), np.float32)
+    hw = np.zeros((len(images), 2), np.int32)
+    for i, im in enumerate(images):
+        bank[i, :im.shape[0], :im.shape[1]] = im[..., :3]
+        hw[i] = (im.shape[0], im.shape[1])
+    return bank, hw
+
+
+def sample_bank(bank, hw, tex_id, uv, border=BORDER_REPEAT,
+                filter=FILTER_BILINEAR):
+    """Bilinear/nearest sample with a *per-ray* texture id.
+
+    bank: (T, Hmax, Wmax, 3); hw: (T, 2); tex_id: (B,) int32 (negative ids
+    read texture 0 — mask the result); uv: (B, 2). Returns (B, 3)."""
+    T, HM, WM, _ = bank.shape
+    flat = bank.reshape(T * HM * WM, 3)
+    tid = jnp.maximum(tex_id, 0)
+    h = hw[tid, 0]
+    w = hw[tid, 1]
+    u, v = _apply_border(uv[..., 0], uv[..., 1], border)
+
+    def fetch(x, y):
+        idx = tid * (HM * WM) + y * WM + x
+        return flat[idx]
+
+    if filter == FILTER_NEAREST:
+        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        return fetch(x, y)
+    x = u * w
+    y = v * h
+    x0 = jnp.clip(jnp.floor(x - 0.5), 0, (w - 1).astype(jnp.float32))
+    y0 = jnp.clip(jnp.floor(y - 0.5), 0, (h - 1).astype(jnp.float32))
+    fx = jnp.clip(x - 0.5 - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - 0.5 - y0, 0.0, 1.0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    c00 = fetch(x0, y0)
+    c01 = fetch(x1, y0)
+    c10 = fetch(x0, y1)
+    c11 = fetch(x1, y1)
+    return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+            + (c10 * (1 - fx) + c11 * fx) * fy)
