@@ -1,13 +1,17 @@
-"""Data-driven, batched BSDF layer.
+"""Data-driven, batched BSDF layer (component-leading layout).
 
 The reference builds one specialized closure per material
 (src/render/material.impala) and dispatches per geometry; its megakernel
 mode additionally fuses all "simple" materials into one data-driven shader
 (src/driver/converter.cpp:683-709). On TPU the fused form is the native
-one: every ray carries its material *parameters* (gathered by geometry id)
+one: every ray carries its material *parameters* (selected by geometry id)
 plus a small `kind` code, and eval/pdf/sample are computed for all kinds
 with masks — there are only a handful of kinds, so this is a few fused VPU
 ops rather than divergent control flow.
+
+Layout: colors/directions are Vec3 tuples of full-tile arrays (see
+core.vmath); scalars are plain arrays. This keeps the whole shading stage
+at full VPU lane utilization (the (B, 3) form wasted 127/128 lanes).
 
 Kinds:
   0 BLACK   fully absorbing (make_black_bsdf, material.impala:75-83)
@@ -28,63 +32,68 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core import sampling
-from ..core.math import basis_mul, dot, lerp, reflect, vec3
+from ..core import vmath as vm
 from ..core.rng import randf
 
 BLACK, DIFFUSE, PHONG, MIRROR, GLASS, MIX = 0, 1, 2, 3, 4, 5
 
 
 def positive_cos(a, b):
-    return jnp.maximum(dot(a, b), 0.0)
+    return jnp.maximum(vm.dot(a, b), 0.0)
 
 
 def is_specular(mat):
     return (mat["kind"] == MIRROR) | (mat["kind"] == GLASS)
 
 
+def _cosine_hemisphere_pdf(c):
+    return c * (1.0 / vm.PI)
+
+
+def _cosine_power_pdf(c, k):
+    return jnp.power(jnp.maximum(c, 0.0), k) * (k + 1.0) * (1.0 / (2.0 * vm.PI))
+
+
 def _diffuse_eval(mat):
-    return mat["kd"] * (1.0 / jnp.pi)
+    return vm.scale(mat["kd"], 1.0 / vm.PI)
 
 
 def _phong_eval_pdf(mat, surf, in_dir, out_dir):
-    refl = reflect(out_dir, surf["n"])
+    refl = vm.reflect(out_dir, surf["n"])
     cos = positive_cos(in_dir, refl)
     ns = mat["ns"]
-    e = mat["ks"] * (jnp.power(cos, ns) * (ns + 2.0)
-                     * (1.0 / (2.0 * jnp.pi)))[..., None]
-    pdf = sampling.cosine_power_hemisphere_pdf(cos, ns)
-    return e, pdf
+    e = vm.scale(mat["ks"], jnp.power(cos, ns) * (ns + 2.0)
+                 * (1.0 / (2.0 * vm.PI)))
+    return e, _cosine_power_pdf(cos, ns)
 
 
 def eval_pdf(mat, surf, in_dir, out_dir):
-    """Returns (color (B,3), pdf (B,)) of the BSDF for in/out directions."""
+    """Returns (color Vec3, pdf) of the BSDF for in/out directions."""
     kind = mat["kind"]
-    n = surf["n"]
-    cos_n = positive_cos(in_dir, n)
+    cos_n = positive_cos(in_dir, surf["n"])
 
     d_e = _diffuse_eval(mat)
-    d_pdf = sampling.cosine_hemisphere_pdf(cos_n)
+    d_pdf = _cosine_hemisphere_pdf(cos_n)
     p_e, p_pdf = _phong_eval_pdf(mat, surf, in_dir, out_dir)
-    k = mat["mix_k"][..., None]
+    k = mat["mix_k"]
 
-    color = jnp.where(kind[..., None] == DIFFUSE, d_e,
-            jnp.where(kind[..., None] == PHONG, p_e,
-            jnp.where(kind[..., None] == MIX,
-                      lerp(d_e, p_e, k), 0.0)))
+    zero = vm.splat((0.0, 0.0, 0.0), like=cos_n)
+    color = vm.where(kind == DIFFUSE, d_e,
+            vm.where(kind == PHONG, p_e,
+            vm.where(kind == MIX, vm.lerp(d_e, p_e, k), zero)))
     pdf = jnp.where(kind == DIFFUSE, d_pdf,
           jnp.where(kind == PHONG, p_pdf,
-          jnp.where(kind == MIX, lerp(d_pdf, p_pdf, mat["mix_k"]), 0.0)))
+          jnp.where(kind == MIX, d_pdf + (p_pdf - d_pdf) * k, 0.0)))
     return color, pdf
 
 
 def _validate(surf, in_dir, pdf, color, inverted):
     """make_bsdf_sample's right-side-of-surface check
     (material.impala:63-74): invalid -> pdf 1, color black."""
-    above = dot(in_dir, surf["face_normal"]) > 0.0
+    above = vm.dot(in_dir, surf["face_normal"]) > 0.0
     valid = (pdf > 0.0) & (inverted ^ above)
-    return (jnp.where(valid, pdf, 1.0),
-            jnp.where(valid[..., None], color, 0.0))
+    zero = vm.splat((0.0, 0.0, 0.0), like=pdf)
+    return jnp.where(valid, pdf, 1.0), vm.where(valid, color, zero)
 
 
 def sample(mat, surf, rnd, out_dir):
@@ -92,83 +101,86 @@ def sample(mat, surf, rnd, out_dir):
     so RNG state threading is batch-uniform (the per-material draw count
     of the reference only changes the noise pattern, not the estimator).
 
-    Returns (in_dir, pdf, cos, color, rnd)."""
+    Returns (in_dir Vec3, pdf, cos, color Vec3, rnd)."""
     kind = mat["kind"]
     n = surf["n"]
-    t_, b_, _ = surf["t"], surf["b"], n
+    t_, b_ = surf["t"], surf["b"]
 
     u0, rnd = randf(rnd)  # mix lobe selector / glass fresnel selector
     u1, rnd = randf(rnd)
     u2, rnd = randf(rnd)
+    falsem = jnp.zeros_like(u0, bool)
 
     # --- diffuse: cosine hemisphere in the shading frame ---
-    d_local, d_pdf = sampling.sample_cosine_hemisphere(u1, u2)
-    d_dir = basis_mul(t_, b_, n, d_local)
-    d_cos = d_local[..., 2]
+    dc = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+    ds = jnp.sqrt(u2)
+    dphi = 2.0 * vm.PI * u1
+    d_local = (ds * jnp.cos(dphi), ds * jnp.sin(dphi), dc)
+    d_pdf = _cosine_hemisphere_pdf(dc)
+    d_dir = vm.basis_mul(t_, b_, n, d_local)
+    d_cos = dc
     d_color = _diffuse_eval(mat)
-    d_pdf, d_color = _validate(surf, d_dir, d_pdf, d_color,
-                               jnp.zeros_like(d_pdf, bool))
+    d_pdf, d_color = _validate(surf, d_dir, d_pdf, d_color, falsem)
 
     # --- phong: cosine-power lobe around the reflection direction ---
-    refl = reflect(out_dir, n)
-    p_local, p_pdf = sampling.sample_cosine_power_hemisphere(mat["ns"], u1, u2)
-    rt, rb, rn = _onb(refl)
-    p_dir = basis_mul(rt, rb, rn, p_local)
+    ns = mat["ns"]
+    refl = vm.reflect(out_dir, n)
+    pc = jnp.minimum(jnp.power(u2, 1.0 / (ns + 1.0)), 1.0)
+    ps = jnp.sqrt(jnp.maximum(1.0 - pc * pc, 0.0))
+    pow_c_k = jnp.where(pc != 0.0, u2 / jnp.where(pc != 0.0, pc, 1.0), 0.0)
+    p_pdf = pow_c_k * (ns + 1.0) * (1.0 / (2.0 * vm.PI))
+    p_local = (ps * jnp.cos(dphi), ps * jnp.sin(dphi), pc)
+    rt, rb, rn = vm.onb(refl)
+    p_dir = vm.basis_mul(rt, rb, rn, p_local)
     p_cos = positive_cos(p_dir, n)
-    p_color = mat["ks"] * (p_pdf * (mat["ns"] + 2.0)
-                           / (mat["ns"] + 1.0))[..., None]
-    p_pdf_v, p_color = _validate(surf, p_dir, p_pdf, p_color,
-                                 jnp.zeros_like(p_pdf, bool))
+    p_color = vm.scale(mat["ks"], p_pdf * (ns + 2.0) / (ns + 1.0))
+    p_pdf_v, p_color = _validate(surf, p_dir, p_pdf, p_color, falsem)
 
     # --- mirror ---
     m_dir = refl
     m_pdf = jnp.ones_like(d_pdf)
-    m_color = mat["ks"]
-    m_pdf, m_color = _validate(surf, m_dir, m_pdf, m_color,
-                               jnp.zeros_like(d_pdf, bool))
+    m_pdf, m_color = _validate(surf, m_dir, m_pdf, mat["ks"], falsem)
 
     # --- glass (adjoint=false as in the path tracer) ---
     k_ior = jnp.where(surf["is_entering"], 1.0 / mat["ni"], mat["ni"])
-    cos_i = dot(out_dir, n)
+    cos_i = vm.dot(out_dir, n)
     cos2_t = 1.0 - k_ior * k_ior * (1.0 - cos_i * cos_i)
     cos_t = jnp.sqrt(jnp.maximum(cos2_t, 0.0))
     f_s = (k_ior * cos_i - cos_t) / jnp.maximum(k_ior * cos_i + cos_t, 1e-30)
     f_p = (cos_i - k_ior * cos_t) / jnp.maximum(cos_i + k_ior * cos_t, 1e-30)
     fresnel = 0.5 * (f_s * f_s + f_p * f_p)
-    refr_dir = (n * (k_ior * cos_i - cos_t)[..., None]
-                - out_dir * k_ior[..., None])
+    refr_dir = vm.sub(vm.scale(n, k_ior * cos_i - cos_t),
+                      vm.scale(out_dir, k_ior))
     refract = (cos2_t > 0.0) & (u0 > fresnel)
-    g_dir = jnp.where(refract[..., None], refr_dir, refl)
+    g_dir = vm.where(refract, refr_dir, refl)
     g_pdf = jnp.ones_like(d_pdf)
-    g_color = jnp.where(refract[..., None], mat["tf"], mat["ks"])
+    g_color = vm.where(refract, mat["tf"], mat["ks"])
     g_pdf, g_color = _validate(surf, g_dir, g_pdf, g_color, refract)
 
     # --- mix(diffuse, phong, k): pick a lobe, combine pdfs/colors ---
     k = mat["mix_k"]
     pick_phong = u0 < k  # reference: randf >= k -> mat1 (diffuse)
-    x_dir = jnp.where(pick_phong[..., None], p_dir, d_dir)
+    x_dir = vm.where(pick_phong, p_dir, d_dir)
     x_cos = jnp.where(pick_phong, p_cos, d_cos)
-    # re-evaluate the other lobe at the sampled direction
     de = _diffuse_eval(mat)
-    dp = sampling.cosine_hemisphere_pdf(positive_cos(x_dir, n))
+    dp = _cosine_hemisphere_pdf(positive_cos(x_dir, n))
     pe, pp = _phong_eval_pdf(mat, surf, x_dir, out_dir)
-    # chosen lobe's sample color; other lobe's eval
-    chosen_color = jnp.where(pick_phong[..., None], p_color, d_color)
+    chosen_color = vm.where(pick_phong, p_color, d_color)
     chosen_pdf = jnp.where(pick_phong, p_pdf_v, d_pdf)
-    other_color = jnp.where(pick_phong[..., None], de, pe)
+    other_color = vm.where(pick_phong, de, pe)
     other_pdf = jnp.where(pick_phong, dp, pp)
-    x_color = jnp.where(pick_phong[..., None],
-                        lerp(other_color, chosen_color, k[..., None]),
-                        lerp(chosen_color, other_color, k[..., None]))
-    x_pdf = jnp.where(pick_phong, lerp(other_pdf, chosen_pdf, k),
-                      lerp(chosen_pdf, other_pdf, k))
+    x_color = vm.where(pick_phong,
+                       vm.lerp(other_color, chosen_color, k),
+                       vm.lerp(chosen_color, other_color, k))
+    x_pdf = jnp.where(pick_phong,
+                      other_pdf + (chosen_pdf - other_pdf) * k,
+                      chosen_pdf + (other_pdf - chosen_pdf) * k)
 
-    kindc = kind[..., None]
-    in_dir = jnp.where(kindc == DIFFUSE, d_dir,
-             jnp.where(kindc == PHONG, p_dir,
-             jnp.where(kindc == MIRROR, m_dir,
-             jnp.where(kindc == GLASS, g_dir,
-             jnp.where(kindc == MIX, x_dir, out_dir)))))
+    in_dir = vm.where(kind == DIFFUSE, d_dir,
+             vm.where(kind == PHONG, p_dir,
+             vm.where(kind == MIRROR, m_dir,
+             vm.where(kind == GLASS, g_dir,
+             vm.where(kind == MIX, x_dir, out_dir)))))
     pdf = jnp.where(kind == DIFFUSE, d_pdf,
           jnp.where(kind == PHONG, p_pdf_v,
           jnp.where(kind == MIRROR, m_pdf,
@@ -179,14 +191,10 @@ def sample(mat, surf, rnd, out_dir):
           jnp.where(kind == MIRROR, 1.0,
           jnp.where(kind == GLASS, 1.0,
           jnp.where(kind == MIX, x_cos, 1.0)))))
-    color = jnp.where(kindc == DIFFUSE, d_color,
-            jnp.where(kindc == PHONG, p_color,
-            jnp.where(kindc == MIRROR, m_color,
-            jnp.where(kindc == GLASS, g_color,
-            jnp.where(kindc == MIX, x_color, 0.0)))))
+    zero = vm.splat((0.0, 0.0, 0.0), like=pdf)
+    color = vm.where(kind == DIFFUSE, d_color,
+            vm.where(kind == PHONG, p_color,
+            vm.where(kind == MIRROR, m_color,
+            vm.where(kind == GLASS, g_color,
+            vm.where(kind == MIX, x_color, zero)))))
     return in_dir, pdf, cos, color, rnd
-
-
-def _onb(n):
-    from ..core.math import make_orthonormal_basis
-    return make_orthonormal_basis(n)

@@ -169,8 +169,22 @@ def compile_obj(path, arity=8, max_path_len=64):
         "ks_tex": jnp.asarray([p["ks_tex"] for p in mat_params], jnp.int32),
     }
 
+    # packed geometry rows for single-gather surface elements
+    # (geometry.impala make_tri_mesh_geometry's data, row-fused):
+    # tri row: [i0, i1, i2, mat (i32 bitcast), fn.xyz, light_id]
+    idx4 = mesh.indices.reshape(-1, 4)
+    tri_geo = np.zeros((len(idx4), 8), np.float32)
+    tri_geo[:, 0:4] = idx4.astype(np.int32).view(np.float32)
+    tri_geo[:, 4:7] = mesh.face_normals
+    tri_geo[:, 7] = light_ids.astype(np.int32).view(np.float32)
+    # vertex row: [n.xyz, tu, tv]
+    vtx_geo = np.concatenate(
+        [mesh.normals, mesh.texcoords], axis=1).astype(np.float32)
+
     device = {
         "bvh": bvh_to_device(bvh),
+        "tri_geo": jnp.asarray(tri_geo),
+        "vtx_geo": jnp.asarray(vtx_geo),
         "vertices": jnp.asarray(mesh.vertices),
         "normals": jnp.asarray(mesh.normals),
         "face_normals": jnp.asarray(mesh.face_normals),

@@ -1,4 +1,4 @@
-"""Wavefront path tracer.
+"""Wavefront path tracer (tile-layout).
 
 The reference processes paths breadth-first as a resident ray stream:
 generate -> traverse -> sort-by-shader -> shade -> compact -> shadow-trace
@@ -8,12 +8,14 @@ callbacks implement next-event estimation with MIS against BSDF sampling,
 specular skips, and clamped Russian roulette
 (make_path_tracing_renderer, src/render/renderer.impala:62-163).
 
-TPU mapping: one fixed-capacity megabatch of rays (all pixels x samples of
-one pass) advances through a jax.lax.while_loop over bounces. There is no
-per-lane divergence to fight, so the sort/compaction stages of the
-reference become masks: dead rays ride along as no-ops (their traversal
-stacks are empty, so they cost nothing inside the traversal loop). Film
-accumulation is a scatter-add keyed by pixel id.
+TPU mapping: one fixed-capacity megabatch of rays advances through a
+jax.lax.while_loop over bounces; sort/compaction become masks (dead rays
+have empty traversal stacks and cost nothing inside the traversal loop),
+and the persistent variant regenerates dead slots with fresh samples (the
+megakernel work-counter trick, mapping_gpu.impala:371-474). All per-ray
+state lives in (R, 128) full-tile component layout (see core.vmath /
+traversal.tiled for why); vectors are (x, y, z) tuples — exactly the
+reference's SoA ray streams (driver.impala:24-61) in tile form.
 
 The estimator matches renderer.impala term for term:
 - camera emitter seeds RNG with FNV(sample, iter, x, y) and jitters the
@@ -34,43 +36,76 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core import sampling
-from ..core.math import FLT_MAX, dot, lerp2, make_orthonormal_basis, normalize
+from ..core import vmath as vm
 from ..core.rng import randf, seed_camera_rays
-from ..traversal.api import make_rays
-from ..traversal.tiled import occluded_tiled as occluded
-from ..traversal.tiled import traverse_tiled as traverse
+from ..core.tiles import gather_cols, num_tiles, tile
+from ..traversal.tiled import traverse_components
 from . import bsdf as bsdf_mod
 from . import light as light_mod
 
 OFFSET = 1e-3  # shadow/bounce epsilon (renderer.impala:64)
+FLT_MAX = jnp.float32(3.402823466e38)
+
+
+def _safe_rcp(x):
+    """common.impala:82-85 semantics, componentwise."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    maxi = jax.lax.bitcast_convert_type(jnp.float32(3.402823466e38),
+                                        jnp.int32)
+    big = jax.lax.bitcast_convert_type(
+        (xi & jnp.int32(-2147483648)) | maxi, jnp.float32)
+    return jnp.where(jnp.abs(x) < 1e-8, big, 1.0 / x)
+
+
+def make_rays_c(org, dirv, tmin, tmax):
+    """Component-layout ray bundle with precomputed inverses
+    (intersection.impala make_ray)."""
+    inv_d = tuple(_safe_rcp(d) for d in dirv)
+    inv_o = tuple(-o * i for o, i in zip(org, inv_d))
+    return {"org": org, "dir": dirv, "inv_dir": inv_d, "inv_org": inv_o,
+            "tmin": tmin, "tmax": tmax}
+
+
+def _traverse(scene, rays, any_hit=False):
+    return traverse_components(scene["bvh"], rays["org"], rays["dir"],
+                               rays["inv_dir"], rays["inv_org"],
+                               rays["tmin"], rays["tmax"], any_hit=any_hit)
 
 
 def surface_element(scene, rays, hit):
     """make_tri_mesh_geometry's surface element
-    (src/render/geometry.impala:21-54), batched."""
+    (src/render/geometry.impala:21-54) in component layout.
+
+    Uses the packed per-triangle row [i0, i1, i2, mat, fn.xyz, light_id]
+    and per-vertex row [n.xyz, tu, tv] (scene compiler) so the whole
+    fetch is 4 flat gathers."""
     prim = jnp.maximum(hit["prim_id"], 0)
-    tri = scene["indices"][prim]          # (B, 4): v0, v1, v2, mat
-    i0, i1, i2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    tg = gather_cols(scene["tri_geo"], prim)     # (8, R, 128)
+
+    def bc(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    i0, i1, i2, mat_id = bc(tg[0]), bc(tg[1]), bc(tg[2]), bc(tg[3])
+    face_n = (tg[4], tg[5], tg[6])
+    light_id = bc(tg[7])
+
+    vg0 = gather_cols(scene["vtx_geo"], i0)      # (5, R, 128)
+    vg1 = gather_cols(scene["vtx_geo"], i1)
+    vg2 = gather_cols(scene["vtx_geo"], i2)
     u, v = hit["u"], hit["v"]
+    normal = vm.normalize(vm.lerp2((vg0[0], vg0[1], vg0[2]),
+                                   (vg1[0], vg1[1], vg1[2]),
+                                   (vg2[0], vg2[1], vg2[2]), u, v))
+    w = 1.0 - u - v
+    uv = (w * vg0[3] + u * vg1[3] + v * vg2[3],
+          w * vg0[4] + u * vg1[4] + v * vg2[4])
 
-    face_n = scene["face_normals"][prim]
-    n0 = scene["normals"][i0]
-    n1 = scene["normals"][i1]
-    n2 = scene["normals"][i2]
-    normal = normalize(lerp2(n0, n1, n2, u, v))
-    is_entering = dot(rays["dir"], face_n) <= 0.0
-    point = rays["org"] + rays["dir"] * hit["t"][:, None]
-    face_normal = jnp.where(is_entering[:, None], face_n, -face_n)
-    shade_n = jnp.where(dot(rays["dir"], normal)[:, None] <= 0.0,
-                        normal, -normal)
-    t_, b_, n_ = make_orthonormal_basis(shade_n)
-
-    t0 = scene["texcoords"][i0]
-    t1 = scene["texcoords"][i1]
-    t2 = scene["texcoords"][i2]
-    uv = lerp2(t0, t1, t2, u, v)
-
+    is_entering = vm.dot(rays["dir"], face_n) <= 0.0
+    point = vm.add(rays["org"], vm.scale(rays["dir"], hit["t"]))
+    face_normal = vm.where(is_entering, face_n, vm.neg(face_n))
+    shade_n = vm.where(vm.dot(rays["dir"], normal) <= 0.0,
+                       normal, vm.neg(normal))
+    t_, b_, n_ = vm.onb(shade_n)
     return {
         "is_entering": is_entering,
         "point": point,
@@ -78,85 +113,129 @@ def surface_element(scene, rays, hit):
         "t": t_, "b": b_, "n": n_,
         "uv": uv,
         "prim": prim,
-        "mat_id": tri[:, 3],
+        "mat_id": mat_id,
+        "light_id": light_id,
     }
+
+
+_SELECT_CHAIN_MAX = 32
 
 
 def gather_material(scene, mat_id):
-    """Gathers per-ray material parameters from the static material table
-    (the converter's per-material shader closures, converter.cpp:859-927,
-    turned into data)."""
+    """Per-ray material parameters from the static table — the converter's
+    per-material shader closures (converter.cpp:859-927) as data. Small
+    tables use select chains (zero gathers, fully fused)."""
     mt = scene["mat_table"]
-    return {
-        "kind": mt["kind"][mat_id],
-        "kd": mt["kd"][mat_id],
-        "ks": mt["ks"][mat_id],
-        "ns": mt["ns"][mat_id],
-        "ni": mt["ni"][mat_id],
-        "tf": mt["tf"][mat_id],
-        "mix_k": mt["mix_k"][mat_id],
-        "emissive": mt["emissive"][mat_id],
-        "kd_tex": mt["kd_tex"][mat_id],
-        "ks_tex": mt["ks_tex"][mat_id],
-    }
+    n = mt["ns"].shape[0]
+
+    def col(key):
+        c = mt[key]
+        if n <= _SELECT_CHAIN_MAX:
+            if c.ndim == 1:
+                out = jnp.zeros(mat_id.shape, c.dtype) + c[0]
+                for i in range(1, n):
+                    out = jnp.where(mat_id == i, c[i], out)
+                return out
+            zero = jnp.zeros(mat_id.shape, c.dtype)
+            out = (zero + c[0, 0], zero + c[0, 1], zero + c[0, 2])
+            for i in range(1, n):
+                out = vm.where(mat_id == i, (c[i, 0], c[i, 1], c[i, 2]),
+                               out)
+            return out
+        if c.ndim == 1:
+            return c[mat_id.reshape(-1)].reshape(mat_id.shape)
+        g = gather_cols(c, mat_id)
+        return (g[0], g[1], g[2])
+
+    return {k: col(k) for k in ("kind", "kd", "ks", "ns", "ni", "tf",
+                                "mix_k", "emissive", "kd_tex", "ks_tex")}
 
 
-def emit_camera_rays(camera, width, height, sample, iteration, pixel_ids):
-    """make_camera_emitter (renderer.impala:26-40)."""
-    x = (pixel_ids % width).astype(jnp.uint32)
-    y = (pixel_ids // width).astype(jnp.uint32)
-    rnd = seed_camera_rays(jnp.uint32(sample), jnp.uint32(iteration), x, y)
-    jx, rnd = randf(rnd)
-    jy, rnd = randf(rnd)
-    kx = 2.0 * (x.astype(jnp.float32) + jx) / width - 1.0
-    ky = 1.0 - 2.0 * (y.astype(jnp.float32) + jy) / height
-    org, d = camera.generate_rays(kx, ky)
-    return org, d, rnd
+def _sample_bank(scene, tex_id, uv):
+    """Per-ray texture-bank lookup, bilinear + repeat border
+    (render.texture semantics) in component layout."""
+    bank = scene["textures"]
+    hw = scene["tex_hw"]
+    T, HM, WM, _ = bank.shape
+    flat = bank.reshape(T * HM * WM, 3)
+    tid = jnp.maximum(tex_id, 0)
+    h = hw[:, 0][tid.reshape(-1)].reshape(tid.shape).astype(jnp.float32)
+    w = hw[:, 1][tid.reshape(-1)].reshape(tid.shape).astype(jnp.float32)
+    u = uv[0] - jnp.floor(uv[0])
+    v = uv[1] - jnp.floor(uv[1])
+    x = u * w
+    y = v * h
+    x0 = jnp.clip(jnp.floor(x - 0.5), 0.0, w - 1)
+    y0 = jnp.clip(jnp.floor(y - 0.5), 0.0, h - 1)
+    fx = jnp.clip(x - 0.5 - x0, 0.0, 1.0)
+    fy = jnp.clip(y - 0.5 - y0, 0.0, 1.0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w.astype(jnp.int32) - 1)
+    y1i = jnp.minimum(y0i + 1, h.astype(jnp.int32) - 1)
+
+    def fetch(xi, yi):
+        idx = tid * (HM * WM) + yi * WM + xi
+        g = gather_cols(flat, idx)
+        return (g[0], g[1], g[2])
+
+    c00 = fetch(x0i, y0i)
+    c01 = fetch(x1i, y0i)
+    c10 = fetch(x0i, y1i)
+    c11 = fetch(x1i, y1i)
+    top = vm.lerp(c00, c01, fx)
+    bot = vm.lerp(c10, c11, fx)
+    return vm.lerp(top, bot, fy)
+
+
+def _splat(film, pixel, color, mask):
+    """Scatter-add a Vec3 into the (N, 3) film; masked-off/padded rays
+    write to an OOB index and get dropped."""
+    r = pixel.shape[0]
+    idx = jnp.where(mask, pixel, film.shape[0]).reshape(r * 128)
+    rows = jnp.stack([c.reshape(r * 128) for c in color], axis=-1)
+    return film.at[idx].add(rows, mode="drop")
 
 
 def _shade(scene, rays, hit, state, film):
-    """One shading stage: on_hit accumulation, NEE shadow rays,
-    bounce sampling. Returns (film, next_rays, next_state, alive)."""
+    """One shading stage: on_hit accumulation, NEE shadow rays, bounce
+    sampling. Returns (film, next_rays, next_state)."""
     alive = state["alive"] & (hit["prim_id"] >= 0)
     surf = surface_element(scene, rays, hit)
     mat = gather_material(scene, surf["mat_id"])
     if "textures" in scene:
         # textured kd/ks override constants (converter.cpp:877-895)
-        from . import texture as tx
-        kd_t = tx.sample_bank(scene["textures"], scene["tex_hw"],
-                              mat["kd_tex"], surf["uv"])
-        ks_t = tx.sample_bank(scene["textures"], scene["tex_hw"],
-                              mat["ks_tex"], surf["uv"])
-        mat["kd"] = jnp.where((mat["kd_tex"] >= 0)[:, None], kd_t, mat["kd"])
-        mat["ks"] = jnp.where((mat["ks_tex"] >= 0)[:, None], ks_t, mat["ks"])
+        kd_t = _sample_bank(scene, mat["kd_tex"], surf["uv"])
+        ks_t = _sample_bank(scene, mat["ks_tex"], surf["uv"])
+        mat["kd"] = vm.where(mat["kd_tex"] >= 0, kd_t, mat["kd"])
+        mat["ks"] = vm.where(mat["ks_tex"] >= 0, ks_t, mat["ks"])
     rnd = state["rnd"]
-    out_dir = -rays["dir"]
+    out_dir = vm.neg(rays["dir"])
     num_lights = scene["num_lights"]
     pdf_lightpick = 1.0 / num_lights
 
     # ---- on_hit: emissive surface seen by the path ----
-    light_id = scene["light_ids"][surf["prim"]]
-    emit = light_mod.emission(scene["lights"], light_id, out_dir)
-    cos_o = dot(out_dir, surf["n"])
+    emit = light_mod.emission(scene["lights"], surf["light_id"], out_dir)
+    cos_o = vm.dot(out_dir, surf["n"])
     next_mis = state["mis"] * hit["t"] * hit["t"] / jnp.where(
         cos_o != 0.0, cos_o, 1.0)
     mis_w = 1.0 / (1.0 + next_mis * pdf_lightpick * emit["pdf_area"])
     hit_light = alive & mat["emissive"] & surf["is_entering"]
-    emit_color = state["contrib"] * emit["intensity"] * mis_w[:, None]
-    film = film.at[state["pixel"]].add(
-        jnp.where(hit_light[:, None], emit_color, 0.0), mode="drop")
+    emit_color = vm.scale(vm.mul(state["contrib"], emit["intensity"]),
+                          mis_w)
+    film = _splat(film, state["pixel"], emit_color, hit_light)
 
     # ---- on_shadow: next-event estimation (skipped for specular) ----
     do_nee = alive & ~bsdf_mod.is_specular(mat)
     lidx, rnd = light_mod.pick_uniform(num_lights, rnd)
     ls, rnd = light_mod.sample_direct(scene["lights"], lidx, rnd,
                                       surf["point"])
-    light_vec = ls["pos"] - surf["point"]
-    vis = dot(light_vec, surf["n"])
+    light_vec = vm.sub(ls["pos"], surf["point"])
+    vis = vm.dot(light_vec, surf["n"])
     nee_ok = do_nee & (vis > 0.0) & (ls["cos"] > 0.0)
-    inv_d = 1.0 / jnp.maximum(jnp.sqrt(dot(light_vec, light_vec)), 1e-30)
+    inv_d = 1.0 / jnp.maximum(vm.length(light_vec), 1e-30)
     inv_d2 = inv_d * inv_d
-    in_dir = light_vec * inv_d[:, None]
+    in_dir = vm.scale(light_vec, inv_d)
     pdf_e_c, pdf_e = bsdf_mod.eval_pdf(mat, surf, in_dir, out_dir)
     pdf_e = jnp.where(ls["has_area"], pdf_e, 0.0)
     pdf_l = ls["pdf_area"] * pdf_lightpick
@@ -166,68 +245,87 @@ def _shade(scene, rays, hit, state, film):
     mis = jnp.where(ls["has_area"],
                     1.0 / (1.0 + pdf_e * cos_l * inv_d2 * inv_pdf_l), 1.0)
     geom = cos_e * cos_l * inv_d2 * inv_pdf_l
-    shadow_color = (ls["intensity"] * state["contrib"] * pdf_e_c
-                    * (geom * mis)[:, None])
+    shadow_color = vm.scale(
+        vm.mul(vm.mul(ls["intensity"], state["contrib"]), pdf_e_c),
+        geom * mis)
 
-    shadow_rays = make_rays(surf["point"], light_vec,
-                            jnp.full_like(vis, OFFSET),
-                            jnp.full_like(vis, 1.0 - OFFSET))
-    # dead/skipped rays traverse nothing: tmax < tmin empties the test
-    shadow_rays["tmax"] = jnp.where(nee_ok, shadow_rays["tmax"], -1.0)
-    blocked = occluded(scene["bvh"], shadow_rays)
-    add_shadow = nee_ok & ~blocked
-    film = film.at[state["pixel"]].add(
-        jnp.where(add_shadow[:, None], shadow_color, 0.0), mode="drop")
+    off = jnp.full_like(vis, OFFSET)
+    shadow_rays = make_rays_c(surf["point"], light_vec, off,
+                              jnp.where(nee_ok, 1.0 - OFFSET, -1.0))
+    shadow_hit = _traverse(scene, shadow_rays, any_hit=True)
+    add_shadow = nee_ok & (shadow_hit["prim_id"] < 0)
+    film = _splat(film, state["pixel"], shadow_color, add_shadow)
 
     # ---- on_bounce: russian roulette + BSDF sampling ----
-    rr = sampling.russian_roulette(state["contrib"], 0.75)
+    rr = jnp.minimum(2.0 * vm.luminance(state["contrib"]), 0.75)
     u_rr, rnd = randf(rnd)
     continue_ = alive & (state["depth"] < scene["max_path_len"]) & (u_rr < rr)
     new_dir, pdf, cos, color, rnd = bsdf_mod.sample(mat, surf, rnd, out_dir)
     spec = bsdf_mod.is_specular(mat)
-    contrib = state["contrib"] * color * (
-        cos / jnp.maximum(pdf * rr, 1e-30))[:, None]
+    contrib = vm.scale(vm.mul(state["contrib"], color),
+                       cos / jnp.maximum(pdf * rr, 1e-30))
     new_mis = jnp.where(spec, 0.0, 1.0 / jnp.maximum(pdf, 1e-30))
 
-    next_rays = make_rays(surf["point"], new_dir,
-                          jnp.full_like(vis, OFFSET),
-                          jnp.full_like(vis, FLT_MAX))
+    zero3 = vm.splat((0.0, 0.0, 0.0), like=vis)
+    next_rays = make_rays_c(surf["point"], new_dir, off,
+                            jnp.where(continue_, FLT_MAX, -1.0))
     next_state = {
         "rnd": rnd,
-        "contrib": jnp.where(continue_[:, None], contrib, 0.0),
+        "contrib": vm.where(continue_, contrib, zero3),
         "mis": new_mis,
         "depth": state["depth"] + 1,
         "pixel": state["pixel"],
         "alive": continue_,
     }
-    # dead rays must not traverse: zero out their extent
-    next_rays["tmax"] = jnp.where(continue_, next_rays["tmax"], -1.0)
-    return film, next_rays, next_state, continue_
+    return film, next_rays, next_state
+
+
+def _emit_camera(camera, width, height, sample, iteration, pix):
+    """make_camera_emitter (renderer.impala:26-40) in components. pix is
+    an (R, 128) array; sample may be a scalar or (R, 128)."""
+    x = (pix % width).astype(jnp.uint32)
+    y = (pix // width).astype(jnp.uint32)
+    rnd = seed_camera_rays(jnp.asarray(sample, jnp.uint32),
+                           jnp.uint32(iteration), x, y)
+    jx, rnd = randf(rnd)
+    jy, rnd = randf(rnd)
+    kx = 2.0 * (x.astype(jnp.float32) + jx) / width - 1.0
+    ky = 1.0 - 2.0 * (y.astype(jnp.float32) + jy) / height
+    right = vm.splat(camera.right, like=kx)
+    up = vm.splat(camera.up, like=kx)
+    d = vm.splat(camera.dir, like=kx)
+    raydir = vm.normalize(vm.add(vm.add(vm.scale(right, camera.w * kx),
+                                        vm.scale(up, camera.h * ky)), d))
+    org = vm.splat(camera.eye, like=kx)
+    return org, raydir, rnd
 
 
 def render_sample(scene, camera, film, width, height, sample, iteration,
                   pixel_ids=None):
     """Traces one sample per pixel to completion (one wavefront pass).
-    pixel_ids indexes the *global* image; film may be a local shard the
-    same length as pixel_ids' local span when used under shard_map (the
-    scatter indices must then be local — see parallel.mesh)."""
+    pixel_ids indexes the *global* image; when film is a local shard of
+    the same length, scatters use local indices (parallel.mesh)."""
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
     n = pixel_ids.shape[0]
-    org, d, rnd = emit_camera_rays(camera, width, height, sample, iteration,
-                                   pixel_ids)
-    rays = make_rays(org, d, jnp.zeros(n, jnp.float32),
-                     jnp.full(n, FLT_MAX, jnp.float32))
-    # film scatter index: local when film is a shard (len(film) == n)
-    film_index = (pixel_ids if film.shape[0] != n
-                  else jnp.arange(n, dtype=jnp.int32))
+    r = num_tiles(n)
+    live = tile(jnp.ones(n, jnp.int32), r) == 1  # padding slots dead
+    pix = tile(pixel_ids, r)
+    film_index = (pix if film.shape[0] != n
+                  else tile(jnp.arange(n, dtype=jnp.int32), r))
+
+    org, d, rnd = _emit_camera(camera, width, height, sample, iteration,
+                               pix)
+    rays = make_rays_c(org, d, jnp.zeros((r, 128), jnp.float32),
+                       jnp.where(live, FLT_MAX, -1.0))
+    ones = jnp.ones((r, 128), jnp.float32)
     state = {
         "rnd": rnd,
-        "contrib": jnp.ones((n, 3), jnp.float32),
-        "mis": jnp.zeros(n, jnp.float32),
-        "depth": jnp.zeros(n, jnp.int32),
+        "contrib": (ones, ones, ones),
+        "mis": jnp.zeros((r, 128), jnp.float32),
+        "depth": jnp.zeros((r, 128), jnp.int32),
         "pixel": film_index,
-        "alive": jnp.ones(n, bool),
+        "alive": live,
     }
 
     def cond(c):
@@ -235,8 +333,8 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
 
     def body(c):
         rays, state, film = c["rays"], c["state"], c["film"]
-        hit = traverse(scene["bvh"], rays)
-        film, rays, state, _ = _shade(scene, rays, hit, state, film)
+        hit = _traverse(scene, rays)
+        film, rays, state = _shade(scene, rays, hit, state, film)
         return {"rays": rays, "state": state, "film": film}
 
     out = jax.lax.while_loop(cond, body,
@@ -262,51 +360,40 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
                                 iteration, pool=None):
     """Persistent-wavefront iteration: the TPU form of the reference's
     megakernel regeneration trick (gpu_mega_kernel_trace,
-    src/render/mapping_gpu.impala:371-474 — dead paths immediately pull the
-    next sample id from a work counter so lanes never idle).
+    src/render/mapping_gpu.impala:371-474 — dead paths immediately pull
+    the next sample id from a work counter so lanes never idle).
 
     A fixed pool of ray slots processes all width*height*spp samples of
-    the iteration: when a path terminates, its slot re-emits a camera ray
-    for the next unprocessed sample. Utilization stays ~100% until the
-    tail instead of decaying per bounce. RNG seeds depend only on
-    (sample, iter, x, y) (renderer.impala:27-33), so the accumulated film
-    is bit-identical to render_iteration's.
-    """
+    the iteration; when a path terminates, its slot re-emits a camera ray
+    for the next unprocessed sample. RNG seeds depend only on
+    (sample, iter, x, y) (renderer.impala:27-33), so the film is
+    bit-identical to render_iteration's."""
     total = width * height * spp
     pool = pool or min(total, 1 << 18)
-
-    # initial emission: slots take global sample ids 0..pool-1
-    sample_id = jnp.arange(pool, dtype=jnp.int32)
-    next_free = jnp.int32(pool)
+    r = num_tiles(pool)
 
     def emit_rays(sample_id):
         pix = jnp.minimum(sample_id // spp, width * height - 1)
         s = sample_id % spp
-        x = (pix % width).astype(jnp.uint32)
-        y = (pix // width).astype(jnp.uint32)
-        from ..core.rng import seed_camera_rays
-        rnd = seed_camera_rays(s.astype(jnp.uint32), jnp.uint32(iteration),
-                               x, y)
-        jx, rnd = randf(rnd)
-        jy, rnd = randf(rnd)
-        kx = 2.0 * (x.astype(jnp.float32) + jx) / width - 1.0
-        ky = 1.0 - 2.0 * (y.astype(jnp.float32) + jy) / height
-        org, d = camera.generate_rays(kx, ky)
+        org, d, rnd = _emit_camera(camera, width, height, s, iteration,
+                                   pix)
         return org, d, rnd, pix
 
+    sample_id = tile(jnp.arange(pool, dtype=jnp.int32), r)
+    # padding slots hold ids >= pool; treat them as already-consumed
+    next_free = jnp.int32(pool)
     org, d, rnd, pix = emit_rays(sample_id)
-    n = pool
-    rays = make_rays(org, d, jnp.zeros(n, jnp.float32),
-                     jnp.full(n, FLT_MAX, jnp.float32))
-    live0 = sample_id < total
-    rays["tmax"] = jnp.where(live0, rays["tmax"], -1.0)
+    live = sample_id < jnp.minimum(total, pool)
+    rays = make_rays_c(org, d, jnp.zeros((r, 128), jnp.float32),
+                       jnp.where(live, FLT_MAX, -1.0))
+    ones = jnp.ones((r, 128), jnp.float32)
     state = {
         "rnd": rnd,
-        "contrib": jnp.ones((n, 3), jnp.float32),
-        "mis": jnp.zeros(n, jnp.float32),
-        "depth": jnp.zeros(n, jnp.int32),
+        "contrib": (ones, ones, ones),
+        "mis": jnp.zeros((r, 128), jnp.float32),
+        "depth": jnp.zeros((r, 128), jnp.int32),
         "pixel": pix,
-        "alive": live0,
+        "alive": live,
     }
 
     def cond(c):
@@ -315,26 +402,33 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     def body(c):
         rays, state, film = c["rays"], c["state"], c["film"]
         next_free = c["next_free"]
-        hit = traverse(scene["bvh"], rays)
-        film, rays, state, _ = _shade(scene, rays, hit, state, film)
+        hit = _traverse(scene, rays)
+        film, rays, state = _shade(scene, rays, hit, state, film)
 
-        # regenerate: dead slots pull the next unprocessed sample id
-        dead = ~state["alive"]
-        order = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        # regenerate: dead *real* slots pull the next unprocessed sample
+        dead = ~state["alive"] & (tile(jnp.ones(pool, jnp.int32), r) == 1)
+        flat_dead = dead.reshape(-1)
+        order = (jnp.cumsum(flat_dead.astype(jnp.int32)) - 1).reshape(
+            dead.shape)
         new_id = next_free + order
         can = dead & (new_id < total)
-        next_free = jnp.minimum(next_free + jnp.sum(dead.astype(jnp.int32)),
-                                jnp.int32(total))
+        next_free = jnp.minimum(
+            next_free + jnp.sum(flat_dead.astype(jnp.int32)),
+            jnp.int32(total))
 
         norg, nd, nrnd, npix = emit_rays(jnp.where(can, new_id, 0))
-        fresh = make_rays(norg, nd, jnp.zeros(n, jnp.float32),
-                          jnp.full(n, FLT_MAX, jnp.float32))
-        canc = can[:, None]
-        rays = {kk: jnp.where(canc if rays[kk].ndim == 2 else can,
-                              fresh[kk], rays[kk]) for kk in rays}
+        fresh = make_rays_c(norg, nd, jnp.zeros_like(state["mis"]),
+                            jnp.full_like(state["mis"], FLT_MAX))
+        rays = {
+            k: (vm.where(can, fresh[k], rays[k])
+                if isinstance(rays[k], tuple)
+                else jnp.where(can, fresh[k], rays[k]))
+            for k in rays
+        }
+        ones3 = vm.splat((1.0, 1.0, 1.0), like=state["mis"])
         state = {
             "rnd": jnp.where(can, nrnd, state["rnd"]),
-            "contrib": jnp.where(canc, 1.0, state["contrib"]),
+            "contrib": vm.where(can, ones3, state["contrib"]),
             "mis": jnp.where(can, 0.0, state["mis"]),
             "depth": jnp.where(can, 0, state["depth"]),
             "pixel": jnp.where(can, npix, state["pixel"]),

@@ -9,7 +9,10 @@ Semantics follow src/render/light.impala:
   make_direct_sample validity zeroing (:81-101);
 - point lights emit color/(4*pi) with pdf_area 1 (:104-120).
 
-Lights live in SoA arrays; per-ray light choice gathers rows.
+Layout: per-ray positions/normals/colors are Vec3 tuples (core.vmath).
+Per-ray light choice uses a select chain when the light count is small
+(zero gathers — the generated match-table of the reference's main.impala,
+converter.cpp:824-835, as data) and row gathers otherwise.
 kind: 0 = point, 1 = triangle(area).
 """
 from __future__ import annotations
@@ -17,11 +20,11 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import sampling
-from ..core.math import PI, dot
+from ..core import vmath as vm
 from ..core.rng import randf, randi
 
 POINT, TRIANGLE = 0, 1
+_SELECT_CHAIN_MAX = 32
 
 
 def build_light_table(mesh, materials_ke, light_tri_mask):
@@ -76,37 +79,70 @@ def pick_uniform(lights_n, rnd):
     return (v & 0x7FFFFFFF) % lights_n, rnd
 
 
+def _row(table, key, light_idx):
+    """Per-ray row of a light table column: select chain for small tables
+    (fully fused, no gather), row gather otherwise."""
+    col = table[key]
+    n = col.shape[0]
+    if n <= _SELECT_CHAIN_MAX:
+        if col.ndim == 1:
+            out = jnp.zeros(light_idx.shape, col.dtype) + col[0]
+            for i in range(1, n):
+                out = jnp.where(light_idx == i, col[i], out)
+            return out
+        # (n, 3) -> Vec3 select chain over traced scalar rows
+        zero = jnp.zeros(light_idx.shape, col.dtype)
+        out = (zero + col[0, 0], zero + col[0, 1], zero + col[0, 2])
+        for i in range(1, n):
+            out = vm.where(light_idx == i,
+                           (col[i, 0], col[i, 1], col[i, 2]), out)
+        return out
+    if col.ndim == 1:
+        return col[light_idx.reshape(-1)].reshape(light_idx.shape)
+    flatidx = light_idx.reshape(-1)
+    rows = col[flatidx]
+    return tuple(rows[:, i].reshape(light_idx.shape) for i in range(3))
+
+
 def sample_direct(table, light_idx, rnd, from_point):
     """Light.sample_direct for a per-ray chosen light.
-    Returns (dict(pos, intensity, pdf_area, pdf_dir, cos, has_area), rnd)."""
-    kind = table["kind"][light_idx]
+    Returns (dict(pos Vec3, intensity Vec3, pdf_area, pdf_dir, cos,
+    has_area), rnd)."""
+    kind = _row(table, "kind", light_idx)
     u, rnd = randf(rnd)
     v, rnd = randf(rnd)
 
-    # triangle area light
-    v0 = table["v0"][light_idx]
-    v1 = table["v1"][light_idx]
-    v2 = table["v2"][light_idx]
-    n = table["n"][light_idx]
-    inv_area = table["inv_area"][light_idx]
-    color = table["color"][light_idx]
+    v0 = _row(table, "v0", light_idx)
+    v1 = _row(table, "v1", light_idx)
+    v2 = _row(table, "v2", light_idx)
+    n = _row(table, "n", light_idx)
+    inv_area = _row(table, "inv_area", light_idx)
+    color = _row(table, "color", light_idx)
 
-    pos_t = sampling.sample_triangle(u, v, v0, v1, v2)
-    d = from_point - pos_t
-    cos_t = dot(d, n) / jnp.maximum(jnp.sqrt(dot(d, d)), 1e-30)
-    pdf_dir_t = sampling.cosine_hemisphere_pdf(cos_t)
+    # sample_triangle (random.impala:49-59)
+    flip = (u + v) > 1.0
+    uu = jnp.where(flip, 1.0 - u, u)
+    vv = jnp.where(flip, 1.0 - v, v)
+    w = 1.0 - uu - vv
+    pos_t = (w * v0[0] + uu * v1[0] + vv * v2[0],
+             w * v0[1] + uu * v1[1] + vv * v2[1],
+             w * v0[2] + uu * v1[2] + vv * v2[2])
+    d = vm.sub(from_point, pos_t)
+    cos_t = vm.dot(d, n) / jnp.maximum(vm.length(d), 1e-30)
+    pdf_dir_t = cos_t * (1.0 / vm.PI)
 
     is_tri = kind == TRIANGLE
-    pos = jnp.where(is_tri[..., None], pos_t, v0)  # point light pos in v0
-    intensity = jnp.where(is_tri[..., None], color,
-                          color * (1.0 / (4.0 * PI)))
+    pos = vm.where(is_tri, pos_t, v0)  # point light pos stored in v0
+    intensity = vm.where(is_tri, color,
+                         vm.scale(color, 1.0 / (4.0 * vm.PI)))
     pdf_area = jnp.where(is_tri, inv_area, 1.0)
-    pdf_dir = jnp.where(is_tri, pdf_dir_t, sampling.uniform_sphere_pdf())
+    pdf_dir = jnp.where(is_tri, pdf_dir_t, 1.0 / (4.0 * vm.PI))
     cos = jnp.where(is_tri, cos_t, 1.0)
 
     # make_direct_sample validity (light.impala:81-101)
     valid = (pdf_area > 0.0) & (pdf_dir > 0.0) & (cos > 0.0)
-    intensity = jnp.where(valid[..., None], intensity, 0.0)
+    zero = vm.splat((0.0, 0.0, 0.0), like=cos)
+    intensity = vm.where(valid, intensity, zero)
     pdf_area = jnp.where(valid, pdf_area, 1.0)
     pdf_dir = jnp.where(valid, pdf_dir, 1.0)
     cos = jnp.where(valid, cos, 0.0)
@@ -126,14 +162,15 @@ def emission(table, light_idx, out_dir):
     make_area_light:137): EmissionValue(intensity=color,
     pdf_area=inv_area, pdf_dir=cos_hemi_pdf(dot(n, dir))), black when
     pdf_dir <= 0 (make_emission_value)."""
-    n = table["n"][light_idx]
-    color = table["color"][light_idx]
-    inv_area = table["inv_area"][light_idx]
-    is_tri = table["kind"][light_idx] == TRIANGLE
-    pdf_dir = sampling.cosine_hemisphere_pdf(dot(n, out_dir))
+    n = _row(table, "n", light_idx)
+    color = _row(table, "color", light_idx)
+    inv_area = _row(table, "inv_area", light_idx)
+    is_tri = _row(table, "kind", light_idx) == TRIANGLE
+    pdf_dir = vm.dot(n, out_dir) * (1.0 / vm.PI)
     valid = (pdf_dir > 0.0) & is_tri
+    zero = vm.splat((0.0, 0.0, 0.0), like=pdf_dir)
     return {
-        "intensity": jnp.where(valid[..., None], color, 0.0),
+        "intensity": vm.where(valid, color, zero),
         "pdf_area": jnp.where(valid, inv_area, 1.0),
         "pdf_dir": jnp.where(valid, pdf_dir, 1.0),
     }

@@ -39,7 +39,8 @@ def main(argv=None):
     else:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
-    from ..core.math import make_orthonormal_basis, normalize, vec3
+    from ..core import vmath as vm
+    from ..core.tiles import tile
     from ..render import bsdf as bsdf_mod
 
     n = args.count
@@ -61,29 +62,32 @@ def main(argv=None):
     flip = (np.sum(out_dir * normal, axis=1) < 0)
     out_dir[flip] = -out_dir[flip]
 
-    nj = jnp.asarray(normal)
-    t_, b_, n_ = make_orthonormal_basis(nj)
+    nv = tuple(tile(jnp.asarray(normal[:, i])) for i in range(3))
+    t_, b_, n_ = vm.onb(nv)
     surf = {
         "t": t_, "b": b_, "n": n_,
-        "face_normal": nj,
-        "is_entering": jnp.ones(n, bool),
+        "face_normal": nv,
+        "is_entering": jnp.ones_like(n_[0], bool),
     }
+    shape = n_[0]
     mat = {
-        "kind": jnp.asarray(kind),
-        "kd": jnp.full((n, 3), 0.6, jnp.float32),
-        "ks": jnp.full((n, 3), 0.3, jnp.float32),
-        "ns": jnp.full(n, 16.0, jnp.float32),
-        "ni": jnp.full(n, 1.5, jnp.float32),
-        "tf": jnp.full((n, 3), 0.9, jnp.float32),
-        "mix_k": jnp.full(n, 0.4, jnp.float32),
+        "kind": tile(jnp.asarray(kind)),
+        "kd": vm.splat((0.6, 0.6, 0.6), like=shape),
+        "ks": vm.splat((0.3, 0.3, 0.3), like=shape),
+        "ns": jnp.full_like(shape, 16.0),
+        "ni": jnp.full_like(shape, 1.5),
+        "tf": vm.splat((0.9, 0.9, 0.9), like=shape),
+        "mix_k": jnp.full_like(shape, 0.4),
     }
-    out = jnp.asarray(out_dir)
-    rnd0 = jnp.arange(1, n + 1, dtype=jnp.uint32)
+    out = tuple(tile(jnp.asarray(out_dir[:, i])) for i in range(3))
+    rnd0 = tile(jnp.arange(1, n + 1, dtype=jnp.uint32))
 
     def shade(rnd):
         in_dir, pdf, cos, color, rnd = bsdf_mod.sample(mat, surf, rnd, out)
         ev, pv = bsdf_mod.eval_pdf(mat, surf, in_dir, out)
-        return color * ev + (pdf + cos + pv)[:, None], rnd
+        mixed = vm.add(vm.mul(color, ev),
+                       vm.splat((1.0, 1.0, 1.0), like=pdf))
+        return vm.scale(mixed, pdf + cos + pv)[0], rnd
 
     f = jax.jit(shade)
     o, rnd = f(rnd0)

@@ -55,27 +55,16 @@ def _tile(x, r128):
     return _pad_to_tiles(x, r128).reshape(r128, 128)
 
 
-def traverse_tiled(dev, rays, any_hit=False, stack_depth=None):
-    """Tile-layout traversal; same contract as api.traverse."""
-    B = rays["org"].shape[0]
+def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
+                        any_hit=False, stack_depth=None):
+    """Component-level traversal: org/dirv/inv_d/inv_o are Vec3 tuples of
+    (R, 128) arrays, tmin/tmax (R, 128). Returns a hit dict of (R, 128)
+    arrays {t, u, v, prim_id, geom_id}; rays with tmax < tmin are skipped
+    (dead-slot convention used by the integrator)."""
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
     S = stack_depth or STACK_DEPTH
-    R = -(-B // 128)
-
-    def t1(x):
-        return _tile(x, R)
-
-    org = [t1(rays["org"][:, i]) for i in range(3)]
-    dirv = [t1(rays["dir"][:, i]) for i in range(3)]
-    inv_d = [t1(rays["inv_dir"][:, i]) for i in range(3)]
-    inv_o = [t1(rays["inv_org"][:, i]) for i in range(3)]
-    tmin = t1(rays["tmin"])
-    tmax = t1(rays["tmax"])
-    # padded rays must not traverse
-    if R * 128 != B:
-        pad_dead = _tile(jnp.ones(B, jnp.int32), R) == 0
-        tmax = jnp.where(pad_dead, -1.0, tmax)
+    R = tmin.shape[0]
 
     zero = jnp.zeros((R, 128), jnp.int32)
     stack = (jnp.ones((R, 128), jnp.int32),) + (zero,) * (S - 1)
@@ -234,13 +223,37 @@ def traverse_tiled(dev, rays, any_hit=False, stack_depth=None):
         return {"stack": tuple(stack), "sptr": sptr, **new}
 
     state = jax.lax.while_loop(cond, body, state)
+    out = {k: state[k] for k in ("t", "u", "v", "prim_id", "geom_id")}
+    # miss semantics: t == original tmax
+    out["t"] = jnp.where(out["prim_id"] < 0, tmax, out["t"])
+    return out
+
+
+def traverse_tiled(dev, rays, any_hit=False, stack_depth=None):
+    """Row-layout wrapper over traverse_components; same contract as
+    api.traverse."""
+    B = rays["org"].shape[0]
+    R = -(-B // 128)
+
+    def t1(x):
+        return _tile(x, R)
+
+    org = tuple(t1(rays["org"][:, i]) for i in range(3))
+    dirv = tuple(t1(rays["dir"][:, i]) for i in range(3))
+    inv_d = tuple(t1(rays["inv_dir"][:, i]) for i in range(3))
+    inv_o = tuple(t1(rays["inv_org"][:, i]) for i in range(3))
+    tmin = t1(rays["tmin"])
+    tmax = t1(rays["tmax"])
+    if R * 128 != B:
+        pad_dead = _tile(jnp.ones(B, jnp.int32), R) == 0
+        tmax = jnp.where(pad_dead, -1.0, tmax)
+    out = traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
+                              any_hit=any_hit, stack_depth=stack_depth)
 
     def untile(x):
         return x.reshape(R * 128)[:B]
 
-    out = {k: untile(state[k]) for k in ("t", "u", "v", "prim_id",
-                                         "geom_id")}
-    # miss semantics: t == original tmax
+    out = {k: untile(v) for k, v in out.items()}
     out["t"] = jnp.where(out["prim_id"] < 0, rays["tmax"], out["t"])
     return out
 
