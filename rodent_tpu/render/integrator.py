@@ -197,9 +197,12 @@ def _splat(film, pixel, color, mask):
     return film.at[idx].add(rows, mode="drop")
 
 
-def _shade(scene, rays, hit, state, film):
+def _shade(scene, rays, hit, state):
     """One shading stage: on_hit accumulation, NEE shadow rays, bounce
-    sampling. Returns (film, next_rays, next_state)."""
+    sampling. Radiance accumulates into the per-slot register state["acc"]
+    (splatted to the film only when the path retires — film scatter-adds
+    measured ~13 ms each on v5e, so per-bounce splats dominated the whole
+    renderer). Returns (next_rays, next_state)."""
     alive = state["alive"] & (hit["prim_id"] >= 0)
     surf = surface_element(scene, rays, hit)
     mat = gather_material(scene, surf["mat_id"])
@@ -223,7 +226,8 @@ def _shade(scene, rays, hit, state, film):
     hit_light = alive & mat["emissive"] & surf["is_entering"]
     emit_color = vm.scale(vm.mul(state["contrib"], emit["intensity"]),
                           mis_w)
-    film = _splat(film, state["pixel"], emit_color, hit_light)
+    zero3 = vm.splat((0.0, 0.0, 0.0), like=mis_w)
+    acc = vm.add(state["acc"], vm.where(hit_light, emit_color, zero3))
 
     # ---- on_shadow: next-event estimation (skipped for specular) ----
     do_nee = alive & ~bsdf_mod.is_specular(mat)
@@ -254,7 +258,7 @@ def _shade(scene, rays, hit, state, film):
                               jnp.where(nee_ok, 1.0 - OFFSET, -1.0))
     shadow_hit = _traverse(scene, shadow_rays, any_hit=True)
     add_shadow = nee_ok & (shadow_hit["prim_id"] < 0)
-    film = _splat(film, state["pixel"], shadow_color, add_shadow)
+    acc = vm.add(acc, vm.where(add_shadow, shadow_color, zero3))
 
     # ---- on_bounce: russian roulette + BSDF sampling ----
     rr = jnp.minimum(2.0 * vm.luminance(state["contrib"]), 0.75)
@@ -266,7 +270,6 @@ def _shade(scene, rays, hit, state, film):
                        cos / jnp.maximum(pdf * rr, 1e-30))
     new_mis = jnp.where(spec, 0.0, 1.0 / jnp.maximum(pdf, 1e-30))
 
-    zero3 = vm.splat((0.0, 0.0, 0.0), like=vis)
     next_rays = make_rays_c(surf["point"], new_dir, off,
                             jnp.where(continue_, FLT_MAX, -1.0))
     next_state = {
@@ -276,8 +279,9 @@ def _shade(scene, rays, hit, state, film):
         "depth": state["depth"] + 1,
         "pixel": state["pixel"],
         "alive": continue_,
+        "acc": acc,
     }
-    return film, next_rays, next_state
+    return next_rays, next_state
 
 
 def _emit_camera(camera, width, height, sample, iteration, pix):
@@ -319,27 +323,33 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     rays = make_rays_c(org, d, jnp.zeros((r, 128), jnp.float32),
                        jnp.where(live, FLT_MAX, -1.0))
     ones = jnp.ones((r, 128), jnp.float32)
+    zeros = jnp.zeros((r, 128), jnp.float32)
     state = {
         "rnd": rnd,
         "contrib": (ones, ones, ones),
-        "mis": jnp.zeros((r, 128), jnp.float32),
+        "mis": zeros,
         "depth": jnp.zeros((r, 128), jnp.int32),
         "pixel": film_index,
         "alive": live,
+        "acc": (zeros, zeros, zeros),
     }
 
     def cond(c):
         return jnp.any(c["state"]["alive"])
 
     def body(c):
-        rays, state, film = c["rays"], c["state"], c["film"]
+        rays, state = c["rays"], c["state"]
         hit = _traverse(scene, rays)
-        film, rays, state = _shade(scene, rays, hit, state, film)
-        return {"rays": rays, "state": state, "film": film}
+        rays, state = _shade(scene, rays, hit, state)
+        return {"rays": rays, "state": state}
 
-    out = jax.lax.while_loop(cond, body,
-                             {"rays": rays, "state": state, "film": film})
-    return out["film"]
+    out = jax.lax.while_loop(cond, body, {"rays": rays, "state": state})
+    acc = out["state"]["acc"]
+    if film.shape[0] == n and n == r * 128:
+        # identity slot->pixel map: plain elementwise add, no scatter
+        rows = jnp.stack([c.reshape(n) for c in acc], axis=-1)
+        return film + rows
+    return _splat(film, film_index, acc, live)
 
 
 @partial(jax.jit, static_argnames=("camera", "width", "height", "spp"),
@@ -387,13 +397,15 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     rays = make_rays_c(org, d, jnp.zeros((r, 128), jnp.float32),
                        jnp.where(live, FLT_MAX, -1.0))
     ones = jnp.ones((r, 128), jnp.float32)
+    zeros = jnp.zeros((r, 128), jnp.float32)
     state = {
         "rnd": rnd,
         "contrib": (ones, ones, ones),
-        "mis": jnp.zeros((r, 128), jnp.float32),
+        "mis": zeros,
         "depth": jnp.zeros((r, 128), jnp.int32),
         "pixel": pix,
         "alive": live,
+        "acc": (zeros, zeros, zeros),
     }
 
     def cond(c):
@@ -403,10 +415,14 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         rays, state, film = c["rays"], c["state"], c["film"]
         next_free = c["next_free"]
         hit = _traverse(scene, rays)
-        film, rays, state = _shade(scene, rays, hit, state, film)
+        rays, state = _shade(scene, rays, hit, state)
 
         # regenerate: dead *real* slots pull the next unprocessed sample
         dead = ~state["alive"] & (tile(jnp.ones(pool, jnp.int32), r) == 1)
+        # retire finished paths: splat their accumulated radiance
+        film = _splat(film, state["pixel"], state["acc"], dead)
+        zerov = vm.splat((0.0, 0.0, 0.0), like=state["mis"])
+        state = dict(state, acc=vm.where(dead, zerov, state["acc"]))
         flat_dead = dead.reshape(-1)
         order = (jnp.cumsum(flat_dead.astype(jnp.int32)) - 1).reshape(
             dead.shape)
@@ -433,6 +449,7 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
             "depth": jnp.where(can, 0, state["depth"]),
             "pixel": jnp.where(can, npix, state["pixel"]),
             "alive": state["alive"] | can,
+            "acc": state["acc"],  # zeroed above for retired slots
         }
         return {"rays": rays, "state": state, "film": film,
                 "next_free": next_free}
@@ -440,4 +457,8 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     out = jax.lax.while_loop(cond, body, {
         "rays": rays, "state": state, "film": film,
         "next_free": next_free})
-    return out["film"]
+    # slots that ran out of samples never hit the dead-splat in body
+    fstate = out["state"]
+    film = _splat(out["film"], fstate["pixel"], fstate["acc"],
+                  tile(jnp.ones(pool, jnp.int32), r) == 1)
+    return film
