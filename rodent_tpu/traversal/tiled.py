@@ -55,24 +55,41 @@ def _tile(x, r128):
     return _pad_to_tiles(x, r128).reshape(r128, 128)
 
 
+NODE_STACK_DEPTH = 24
+LEAF_STACK_DEPTH = 16
+
+
 def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                         any_hit=False, stack_depth=None):
     """Component-level traversal: org/dirv/inv_d/inv_o are Vec3 tuples of
     (R, 128) arrays, tmin/tmax (R, 128). Returns a hit dict of (R, 128)
     arrays {t, u, v, prim_id, geom_id}; rays with tmax < tmin are skipped
-    (dead-slot convention used by the integrator)."""
+    (dead-slot convention used by the integrator).
+
+    Dual-queue form: inner-node refs and leaf-packet refs live on separate
+    stacks and every loop iteration retires one of EACH per ray (one wide
+    node test + one Tri4 packet test), so both row gathers do useful work
+    every iteration — the lockstep analog of the reference's interleaved
+    while-while traversal (mapping_gpu.impala:94-178). A ray's node unit
+    stalls when its leaf stack could overflow (lptr > S_L - arity), which
+    guarantees boundedness; leaves always drain, so progress is
+    guaranteed."""
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
-    S = stack_depth or STACK_DEPTH
+    S_N = stack_depth or NODE_STACK_DEPTH
+    S_L = LEAF_STACK_DEPTH
     R = tmin.shape[0]
 
     zero = jnp.zeros((R, 128), jnp.int32)
-    stack = (jnp.ones((R, 128), jnp.int32),) + (zero,) * (S - 1)
-    sptr = jnp.where(tmax >= tmin, jnp.int32(1), jnp.int32(0))
+    live = tmax >= tmin
+    nstack = (jnp.ones((R, 128), jnp.int32),) + (zero,) * (S_N - 1)
+    lstack = (zero,) * S_L
+    nptr = jnp.where(live, jnp.int32(1), jnp.int32(0))
+    lptr = zero
 
     state = {
-        "stack": stack,
-        "sptr": sptr,
+        "nstack": nstack, "lstack": lstack,
+        "nptr": nptr, "lptr": lptr,
         "t": tmax,
         "u": jnp.zeros((R, 128), jnp.float32),
         "v": jnp.zeros((R, 128), jnp.float32),
@@ -85,28 +102,36 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
         rows = table[idx.reshape(R * 128)]          # (B', C)
         return rows.T.reshape(table.shape[1], R, 128)
 
+    def pop(stack_list, ptr, can):
+        top = ptr - 1
+        code = zero
+        for i, slot in enumerate(stack_list):
+            code = jnp.where(top == i, slot, code)
+        code = jnp.where(can, code, 0)
+        return code, jnp.where(can, top, ptr)
+
     def cond(s):
-        return jnp.any(s["sptr"] > 0)
+        return jnp.any((s["nptr"] > 0) | (s["lptr"] > 0))
 
     def body(state):
-        stack = list(state["stack"])
-        sptr = state["sptr"]
+        nstack = list(state["nstack"])
+        lstack = list(state["lstack"])
+        nptr, lptr = state["nptr"], state["lptr"]
         t_cur = state["t"]
-        active = sptr > 0
-        top = sptr - 1
 
-        # ---- pop: one-hot select over the stack tuple ----
-        code = zero
-        for s in range(S):
-            code = jnp.where(top == s, stack[s], code)
-        code = jnp.where(active, code, 0)
-        sptr = jnp.where(active, top, sptr)
+        # ---- leaf unit: pop one packet (from the previous iteration) ----
+        can_leaf = lptr > 0
+        lcode, lptr = pop(lstack, lptr, can_leaf)
+        is_leaf = lcode < 0
 
-        is_node = code > 0
-        is_leaf = code < 0
+        # ---- node unit: pop one inner node; stall if the leaf stack
+        # could overflow this iteration (cont + arity pushes) ----
+        can_node = (nptr > 0) & (lptr + arity + 1 <= S_L)
+        ncode, nptr = pop(nstack, nptr, can_node)
+        is_node = ncode > 0
 
-        # ---- wide node: one gather + component-major slab tests ----
-        nidx = jnp.where(is_node, code - 1, 0)
+        # ---- wide node test ----
+        nidx = jnp.where(is_node, ncode - 1, 0)
         nc = gather_cols(dev["nodes"], nidx)        # (7A, R, 128)
         children = []
         entry = []
@@ -142,34 +167,26 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                 chit[i], chit[j] = (jnp.where(swap, chit[j], chit[i]),
                                     jnp.where(swap, chit[i], chit[j]))
 
-        k = chit[0].astype(jnp.int32)
+        inner_hit = [chit[i] & (children[i] > 0) for i in range(arity)]
+        leaf_hit = [chit[i] & (children[i] < 0) for i in range(arity)]
+        k_n = inner_hit[0].astype(jnp.int32)
+        k_l = leaf_hit[0].astype(jnp.int32)
         for i in range(1, arity):
-            k = k + chit[i].astype(jnp.int32)
+            k_n = k_n + inner_hit[i].astype(jnp.int32)
+            k_l = k_l + leaf_hit[i].astype(jnp.int32)
 
-        # ---- push: hits occupy ranks 0..k-1 (misses sank in the sort);
-        # rank r lands at stack slot sptr + k-1-r so rank 0 (nearest)
-        # ends on top. One fused pass over the stack tuple.
-        rank = zero
-        pos = []
-        for i in range(arity):
-            pos.append(jnp.where(chit[i], sptr + k - 1 - rank, -1))
-            rank = rank + chit[i].astype(jnp.int32)
-        for s in range(S):
-            v = stack[s]
-            for i in range(arity):
-                v = jnp.where(pos[i] == s, children[i], v)
-            stack[s] = v
-        sptr = sptr + jnp.where(is_node, k, 0)
-
-        # ---- leaf: one gather + M-lane Moller-Trumbore ----
-        pidx = jnp.where(is_leaf, ~code, 0)
+        # ---- leaf (tri packet) test on lcode ----
+        pidx = jnp.where(is_leaf, ~lcode, 0)
         tc = gather_cols(dev["tris"], pidx)         # (14M, R, 128)
         best = None
         for lane in range(m):
             v0x, v0y, v0z = tc[lane], tc[m + lane], tc[2 * m + lane]
-            e1x, e1y, e1z = tc[3 * m + lane], tc[4 * m + lane], tc[5 * m + lane]
-            e2x, e2y, e2z = tc[6 * m + lane], tc[7 * m + lane], tc[8 * m + lane]
-            nx, ny, nz = tc[9 * m + lane], tc[10 * m + lane], tc[11 * m + lane]
+            e1x, e1y, e1z = (tc[3 * m + lane], tc[4 * m + lane],
+                             tc[5 * m + lane])
+            e2x, e2y, e2z = (tc[6 * m + lane], tc[7 * m + lane],
+                             tc[8 * m + lane])
+            nx, ny, nz = (tc[9 * m + lane], tc[10 * m + lane],
+                          tc[11 * m + lane])
             pid = jax.lax.bitcast_convert_type(tc[12 * m + lane], jnp.int32)
             gid = jax.lax.bitcast_convert_type(tc[13 * m + lane], jnp.int32)
 
@@ -211,16 +228,46 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
             "geom_id": jnp.where(upd, bg, state["geom_id"]),
         }
 
-        # continue multi-packet leaves (next packet code = code-1)
+        # ---- leaf-stack writes: multi-packet continuation first, then
+        # this node's leaf children (order within the stack irrelevant) ----
         cont = is_leaf & ~is_last
-        for s in range(S):
-            stack[s] = jnp.where(cont & (sptr == s), code - 1, stack[s])
-        sptr = sptr + cont.astype(jnp.int32)
+        lpos = []
+        lvals = []
+        base = lptr + cont.astype(jnp.int32)
+        lrank = zero
+        for i in range(arity):
+            lpos.append(jnp.where(leaf_hit[i], base + lrank, -1))
+            lvals.append(children[i])
+            lrank = lrank + leaf_hit[i].astype(jnp.int32)
+        cont_pos = jnp.where(cont, lptr, -1)
+        for si in range(S_L):
+            v = lstack[si]
+            v = jnp.where(cont_pos == si, lcode - 1, v)
+            for i in range(arity):
+                v = jnp.where(lpos[i] == si, lvals[i], v)
+            lstack[si] = v
+        lptr = base + jnp.where(is_node, k_l, 0)
+
+        # ---- node-stack pushes: nearest inner child ends on top ----
+        nrank = zero
+        npos = []
+        for i in range(arity):
+            npos.append(jnp.where(inner_hit[i], nptr + k_n - 1 - nrank, -1))
+            nrank = nrank + inner_hit[i].astype(jnp.int32)
+        for si in range(S_N):
+            v = nstack[si]
+            for i in range(arity):
+                v = jnp.where(npos[i] == si, children[i], v)
+            nstack[si] = v
+        nptr = nptr + jnp.where(is_node, k_n, 0)
 
         if any_hit:
-            sptr = jnp.where(new["prim_id"] >= 0, 0, sptr)
+            done = new["prim_id"] >= 0
+            nptr = jnp.where(done, 0, nptr)
+            lptr = jnp.where(done, 0, lptr)
 
-        return {"stack": tuple(stack), "sptr": sptr, **new}
+        return {"nstack": tuple(nstack), "lstack": tuple(lstack),
+                "nptr": nptr, "lptr": lptr, **new}
 
     state = jax.lax.while_loop(cond, body, state)
     out = {k: state[k] for k in ("t", "u", "v", "prim_id", "geom_id")}
