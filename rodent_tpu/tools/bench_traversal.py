@@ -35,6 +35,9 @@ def main(argv=None):
                    help="dump hit t per ray as .fbuf")
     p.add_argument("--bvh-width", type=int, default=None, choices=(2, 4, 8),
                    help="which BVH block to load (default: first present)")
+    p.add_argument("--sort", action="store_true",
+                   help="octant+Morton ray reordering before traversal "
+                        "(helps incoherent distributions)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args(argv)
 
@@ -44,7 +47,8 @@ def main(argv=None):
     import jax.numpy as jnp
     from ..accel.layout import WideBvh
     from ..io import formats
-    from ..traversal.api import bvh_to_device, make_rays, traverse
+    from ..traversal.api import bvh_to_device, make_rays
+    from ..traversal.tiled import traverse_tiled as traverse
 
     btype = {2: formats.BVH2_TRI1, 4: formats.BVH4_TRI4,
              8: formats.BVH8_TRI4}.get(args.bvh_width)
@@ -56,6 +60,19 @@ def main(argv=None):
     n = len(r["org"])
     rays = make_rays(jnp.asarray(r["org"]), jnp.asarray(r["dir"]),
                      jnp.asarray(r["tmin"]), jnp.asarray(r["tmax"]))
+
+    inv_perm = None
+    if args.sort:
+        import numpy as _np
+        from ..traversal.sorting import sort_rays
+        root_lo = _np.asarray([bvh.bounds[0, 0, :].min(),
+                               bvh.bounds[0, 2, :].min(),
+                               bvh.bounds[0, 4, :].min()])
+        root_hi = _np.asarray([bvh.bounds[0, 1, :].max(),
+                               bvh.bounds[0, 3, :].max(),
+                               bvh.bounds[0, 5, :].max()])
+        rays, perm = sort_rays(rays, root_lo, root_hi)
+        inv_perm = jnp.argsort(perm)
 
     fn = jax.jit(lambda rr: traverse(dev, rr, any_hit=args.any))
     hit = None
@@ -70,6 +87,8 @@ def main(argv=None):
         jax.block_until_ready(hit["t"])
         times.append(time.perf_counter() - t0)
 
+    if inv_perm is not None:
+        hit = {k: v[inv_perm] for k, v in hit.items()}
     prim = np.asarray(hit["prim_id"])
     intr = int((prim >= 0).sum())
     times_ms = np.asarray(times) * 1e3

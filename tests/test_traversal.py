@@ -176,3 +176,25 @@ def test_tiled_matches_api():
     blocked_a = np.asarray(occluded(dev, rays2))
     blocked_b = np.asarray(occluded_tiled(dev, rays2))
     np.testing.assert_array_equal(blocked_a, blocked_b)
+
+
+def test_octant_sort_preserves_results():
+    from rodent_tpu.traversal.sorting import sort_rays
+    verts, idx = random_tri_soup(200, seed=41)
+    bvh = build_bvh(verts, idx)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(512, seed=43)
+    base = traverse(dev, rays)
+    lo = verts.min(0)
+    hi = verts.max(0)
+    sorted_rays, perm = sort_rays(rays, lo, hi)
+    inv = np.argsort(np.asarray(perm))
+    got = traverse(dev, sorted_rays)
+    np.testing.assert_array_equal(np.asarray(got["t"])[inv],
+                                  np.asarray(base["t"]))
+    np.testing.assert_array_equal(np.asarray(got["prim_id"])[inv],
+                                  np.asarray(base["prim_id"]))
+    # sorted keys should group octants contiguously
+    from rodent_tpu.traversal.sorting import ray_octant
+    octs = np.asarray(ray_octant(sorted_rays["dir"]))
+    assert (np.diff(octs) >= 0).all()
