@@ -82,3 +82,27 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
         return film_local + jax.lax.psum(partial_film, "sp")
 
     return jax.jit(step)(film)
+
+
+def traverse_sharded(dev, rays, mesh=None, any_hit=False):
+    """Scene-replicated, ray-sharded traversal over a device mesh
+    (SURVEY.md §2.5: the bench_traversal multi-chip configuration).
+    rays are split across all mesh devices along the batch axis; the BVH
+    is replicated; no collectives are needed (results shard like rays)."""
+    from ..traversal.tiled import traverse_tiled
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    flat = Mesh(mesh.devices.reshape(-1), axis_names=("rays",))
+    b = rays["org"].shape[0]
+    assert b % n_dev == 0, "ray count must divide the device count"
+
+    @partial(jax.shard_map, mesh=flat, in_specs=(P("rays"),),
+             out_specs=P("rays"), check_vma=False)
+    def step(local_rays):
+        return traverse_tiled(dev, local_rays, any_hit=any_hit)
+
+    sharding = NamedSharding(flat, P("rays"))
+    rays = jax.tree.map(lambda x: jax.device_put(x, sharding), rays)
+    return jax.jit(step)(rays)

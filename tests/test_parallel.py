@@ -41,3 +41,24 @@ def test_sharded_matches_single(cornell, single_device_film, n_sp, n_px):
                                    mesh)
     np.testing.assert_allclose(np.asarray(out), single_device_film,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_traverse_sharded_matches_single(cornell):
+    """Ray-sharded traversal over 8 devices must reproduce single-device
+    hits exactly (scene replicated, rays split, no collectives)."""
+    import jax.numpy as jnp
+    from rodent_tpu.parallel.mesh import traverse_sharded
+    from rodent_tpu.traversal.api import make_rays
+    from rodent_tpu.traversal.tiled import traverse_tiled
+    r = np.random.RandomState(3)
+    n = 1024
+    org = np.tile(np.asarray([[0, 1, 2.7]], np.float32), (n, 1))
+    d = r.randn(n, 3).astype(np.float32)
+    rays = make_rays(org, d, np.zeros(n, np.float32),
+                     np.full(n, 1e30, np.float32))
+    single = traverse_tiled(cornell.device["bvh"], rays)
+    sharded = traverse_sharded(cornell.device["bvh"], rays)
+    np.testing.assert_array_equal(np.asarray(single["t"]),
+                                  np.asarray(sharded["t"]))
+    np.testing.assert_array_equal(np.asarray(single["prim_id"]),
+                                  np.asarray(sharded["prim_id"]))
