@@ -79,7 +79,9 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
 
         partial_film = jax.lax.fori_loop(
             0, spp_local, body, jnp.zeros_like(film_local))
-        return film_local + jax.lax.psum(partial_film, "sp")
+        # 1/spp weighting: film holds per-iteration means (reference
+        # accumulate semantics, mapping_cpu.impala:365-370)
+        return film_local + jax.lax.psum(partial_film, "sp") * (1.0 / spp)
 
     return jax.jit(step)(film)
 

@@ -356,11 +356,15 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
          donate_argnames=("film",))
 def render_iteration(scene, camera, film, width, height, spp, iteration):
     """One progressive iteration: spp wavefront passes accumulated into the
-    film (driver.cpp:279-325 render loop body)."""
-    def body(s, film):
-        return render_sample(scene, camera, film, width, height, s,
+    film, weighted 1/spp so the film holds per-iteration means and the
+    tonemapper divides by the iteration count alone, exactly like the
+    reference (accumulate, mapping_cpu.impala:365-370; save_image,
+    driver.cpp:145-162)."""
+    def body(s, acc):
+        return render_sample(scene, camera, acc, width, height, s,
                              iteration)
-    return jax.lax.fori_loop(0, spp, body, film)
+    delta = jax.lax.fori_loop(0, spp, body, jnp.zeros_like(film))
+    return film + delta * (1.0 / spp)
 
 
 @partial(jax.jit, static_argnames=("camera", "width", "height", "spp",
@@ -420,7 +424,10 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         # regenerate: dead *real* slots pull the next unprocessed sample
         dead = ~state["alive"] & (tile(jnp.ones(pool, jnp.int32), r) == 1)
         # retire finished paths: splat their accumulated radiance
-        film = _splat(film, state["pixel"], state["acc"], dead)
+        # (weighted 1/spp: the film holds per-iteration means,
+        # mapping_cpu.impala:365-370)
+        film = _splat(film, state["pixel"],
+                      vm.scale(state["acc"], 1.0 / spp), dead)
         zerov = vm.splat((0.0, 0.0, 0.0), like=state["mis"])
         state = dict(state, acc=vm.where(dead, zerov, state["acc"]))
         flat_dead = dead.reshape(-1)
@@ -459,6 +466,7 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         "next_free": next_free})
     # slots that ran out of samples never hit the dead-splat in body
     fstate = out["state"]
-    film = _splat(out["film"], fstate["pixel"], fstate["acc"],
+    film = _splat(out["film"], fstate["pixel"],
+                  vm.scale(fstate["acc"], 1.0 / spp),
                   tile(jnp.ones(pool, jnp.int32), r) == 1)
     return film

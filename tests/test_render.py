@@ -33,7 +33,7 @@ def cornell_img(cornell):
     iters = 4
     for i in range(iters):
         film = render_iteration(cornell.device, cam, film, W, H, 4, i)
-    return film_mod.tonemap(film, W, H, iters * 4), np.asarray(film)
+    return film_mod.tonemap(film, W, H, iters), np.asarray(film)
 
 
 def test_scene_compile(cornell):

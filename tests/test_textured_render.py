@@ -55,7 +55,7 @@ def test_textured_wall(tmp_path):
     film = film_mod.new_film(W, H)
     for i in range(3):
         film = render_iteration(scene.device, cam, film, W, H, 4, i)
-    img = film_mod.tonemap(film, W, H, 12)
+    img = film_mod.tonemap(film, W, H, 3)
     # the wall fills the view: should alternate bright/dark
     mid = img[H // 2, :, 0].astype(np.int32)
     bright = (mid > mid.mean()).astype(np.int32)
