@@ -1,0 +1,83 @@
+"""quality_gate: the reference's ctest golden-image checks as one CLI.
+
+Mirrors cmake/test/run_rodent.cmake (cornell --bench 50 with the fixed
+camera, MSE-compared to testing/ref-cornell.png) and prints the MSE so CI
+can gate on it. Round-1 recorded result on the v5e:
+MSE = 12.6 (u8^2), mean |diff| = 2.33/255 at 1080x720, 50 iters x 4 spp.
+
+Usage:
+  python -m rodent_tpu.tools.quality_gate [--iters 50] [--threshold 100]
+      [--scene OBJ] [--ref PNG] [-o out.png] [--cpu] [--fast]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+REF_DIR = "/root/reference/testing"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="quality_gate")
+    p.add_argument("--scene", default=f"{REF_DIR}/cornell_box.obj")
+    p.add_argument("--ref", default=f"{REF_DIR}/ref-cornell.png")
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--threshold", type=float, default=100.0,
+                   help="max allowed MSE on u8 values")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="quarter resolution + downsampled reference "
+                        "(CI-friendly)")
+    args = p.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    from ..io import png
+    from ..render import film as film_mod
+    from ..render.camera import Camera
+    from ..render.compiler import compile_obj
+    from ..render.integrator import render_iteration_persistent
+
+    ref = png.read_png(args.ref)[..., :3]
+    H0, W0 = ref.shape[:2]
+    if args.fast:
+        W, H = W0 // 4, H0 // 4
+        ref = ref[:H * 4, :W * 4].reshape(H, 4, W, 4, 3).mean((1, 3))
+    else:
+        W, H = W0, H0
+
+    scene = compile_obj(args.scene, max_path_len=64)
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
+    film = film_mod.new_film(W, H)
+    t0 = time.time()
+    for it in range(args.iters):
+        film = render_iteration_persistent(scene.device, cam, film, W, H,
+                                           args.spp, it)
+    jax.block_until_ready(film)
+    img = film_mod.tonemap(film, W, H, args.iters)
+    if args.output:
+        png.write_png(args.output, img)
+
+    mse = film_mod.mse_u8(ref, img)
+    mad = float(np.mean(np.abs(ref.astype(np.float64)
+                               - img.astype(np.float64))))
+    msamp = W * H * args.spp * args.iters / (time.time() - t0) / 1e6
+    print(f"cornell {W}x{H}, {args.iters} iters x {args.spp} spp: "
+          f"MSE={mse:.2f} mean|diff|={mad:.2f}/255 ({msamp:.2f} Msamples/s)")
+    if mse > args.threshold:
+        print(f"FAIL: MSE {mse:.2f} > threshold {args.threshold}")
+        return 1
+    print("PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
