@@ -37,7 +37,7 @@ def main():
                      jnp.zeros(n, jnp.float32),
                      jnp.full(n, 3.402823466e38, jnp.float32))
 
-    chunk = 131072
+    chunk = 262144
     fn = jax.jit(lambda r: traverse(dev, r))
     chunks = [jax.tree.map(lambda x: x[i:i + chunk], rays)
               for i in range(0, n, chunk)]
