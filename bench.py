@@ -24,7 +24,7 @@ def main():
     import jax.numpy as jnp
     from rodent_tpu.accel import build_bvh
     from rodent_tpu.traversal.api import bvh_to_device, make_rays
-    from rodent_tpu.traversal.tiled import traverse_tiled as traverse
+    from rodent_tpu.traversal.pallas_packet import traverse_packet as traverse
     from rodent_tpu.utils.testscenes import hall_primary_rays, make_hall
 
     verts, idx = make_hall(260_000)
@@ -37,7 +37,7 @@ def main():
                      jnp.zeros(n, jnp.float32),
                      jnp.full(n, 3.402823466e38, jnp.float32))
 
-    chunk = 262144
+    chunk = 1048576
     fn = jax.jit(lambda r: traverse(dev, r))
     chunks = [jax.tree.map(lambda x: x[i:i + chunk], rays)
               for i in range(0, n, chunk)]

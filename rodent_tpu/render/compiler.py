@@ -206,6 +206,13 @@ def compile_obj(path, arity=8, max_path_len=64):
                          mat_params=mat_params, num_lights=num_lights)
 
 
+def packet_ok(device, limit_bytes=80 * 1024 * 1024):
+    """True when the scene's BVH fits the VMEM budget of the Pallas packet
+    kernel (traversal.pallas_packet)."""
+    return (device["bvh"]["nodes"].size
+            + device["bvh"]["tris"].size) * 4 <= limit_bytes
+
+
 def _mat_eq(a, b):
     return (a.ka == b.ka and a.kd == b.kd and a.ks == b.ks and a.ke == b.ke
             and a.ns == b.ns and a.ni == b.ni and a.tf == b.tf

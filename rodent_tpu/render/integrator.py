@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..core import vmath as vm
 from ..core.rng import randf, seed_camera_rays
 from ..core.tiles import gather_cols, num_tiles, tile
+from ..traversal.pallas_packet import traverse_packet_components
 from ..traversal.tiled import traverse_components
 from . import bsdf as bsdf_mod
 from . import light as light_mod
@@ -66,10 +67,13 @@ def make_rays_c(org, dirv, tmin, tmax):
             "tmin": tmin, "tmax": tmax}
 
 
-def _traverse(scene, rays, any_hit=False):
-    return traverse_components(scene["bvh"], rays["org"], rays["dir"],
-                               rays["inv_dir"], rays["inv_org"],
-                               rays["tmin"], rays["tmax"], any_hit=any_hit)
+def _traverse(scene, rays, any_hit=False, packet=False):
+    """packet=True uses the Pallas shared-stack kernel (BVH must fit in
+    VMEM); default is the pure-XLA dual-queue loop."""
+    fn = traverse_packet_components if packet else traverse_components
+    return fn(scene["bvh"], rays["org"], rays["dir"],
+              rays["inv_dir"], rays["inv_org"],
+              rays["tmin"], rays["tmax"], any_hit=any_hit)
 
 
 def surface_element(scene, rays, hit):
@@ -197,7 +201,7 @@ def _splat(film, pixel, color, mask):
     return film.at[idx].add(rows, mode="drop")
 
 
-def _shade(scene, rays, hit, state):
+def _shade(scene, rays, hit, state, packet=False):
     """One shading stage: on_hit accumulation, NEE shadow rays, bounce
     sampling. Radiance accumulates into the per-slot register state["acc"]
     (splatted to the film only when the path retires — film scatter-adds
@@ -256,7 +260,8 @@ def _shade(scene, rays, hit, state):
     off = jnp.full_like(vis, OFFSET)
     shadow_rays = make_rays_c(surf["point"], light_vec, off,
                               jnp.where(nee_ok, 1.0 - OFFSET, -1.0))
-    shadow_hit = _traverse(scene, shadow_rays, any_hit=True)
+    shadow_hit = _traverse(scene, shadow_rays, any_hit=True,
+                           packet=packet)
     add_shadow = nee_ok & (shadow_hit["prim_id"] < 0)
     acc = vm.add(acc, vm.where(add_shadow, shadow_color, zero3))
 
@@ -305,7 +310,7 @@ def _emit_camera(camera, width, height, sample, iteration, pix):
 
 
 def render_sample(scene, camera, film, width, height, sample, iteration,
-                  pixel_ids=None):
+                  pixel_ids=None, packet=False):
     """Traces one sample per pixel to completion (one wavefront pass).
     pixel_ids indexes the *global* image; when film is a local shard of
     the same length, scatters use local indices (parallel.mesh)."""
@@ -339,8 +344,8 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
 
     def body(c):
         rays, state = c["rays"], c["state"]
-        hit = _traverse(scene, rays)
-        rays, state = _shade(scene, rays, hit, state)
+        hit = _traverse(scene, rays, packet=packet)
+        rays, state = _shade(scene, rays, hit, state, packet=packet)
         return {"rays": rays, "state": state}
 
     out = jax.lax.while_loop(cond, body, {"rays": rays, "state": state})
@@ -352,9 +357,11 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     return _splat(film, film_index, acc, live)
 
 
-@partial(jax.jit, static_argnames=("camera", "width", "height", "spp"),
+@partial(jax.jit, static_argnames=("camera", "width", "height", "spp",
+                                   "packet"),
          donate_argnames=("film",))
-def render_iteration(scene, camera, film, width, height, spp, iteration):
+def render_iteration(scene, camera, film, width, height, spp, iteration,
+                     packet=False):
     """One progressive iteration: spp wavefront passes accumulated into the
     film, weighted 1/spp so the film holds per-iteration means and the
     tonemapper divides by the iteration count alone, exactly like the
@@ -362,16 +369,16 @@ def render_iteration(scene, camera, film, width, height, spp, iteration):
     driver.cpp:145-162)."""
     def body(s, acc):
         return render_sample(scene, camera, acc, width, height, s,
-                             iteration)
+                             iteration, packet=packet)
     delta = jax.lax.fori_loop(0, spp, body, jnp.zeros_like(film))
     return film + delta * (1.0 / spp)
 
 
 @partial(jax.jit, static_argnames=("camera", "width", "height", "spp",
-                                   "pool"),
+                                   "pool", "packet"),
          donate_argnames=("film",))
 def render_iteration_persistent(scene, camera, film, width, height, spp,
-                                iteration, pool=None):
+                                iteration, pool=None, packet=False):
     """Persistent-wavefront iteration: the TPU form of the reference's
     megakernel regeneration trick (gpu_mega_kernel_trace,
     src/render/mapping_gpu.impala:371-474 — dead paths immediately pull
@@ -418,8 +425,8 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     def body(c):
         rays, state, film = c["rays"], c["state"], c["film"]
         next_free = c["next_free"]
-        hit = _traverse(scene, rays)
-        rays, state = _shade(scene, rays, hit, state)
+        hit = _traverse(scene, rays, packet=packet)
+        rays, state = _shade(scene, rays, hit, state, packet=packet)
 
         # regenerate: dead *real* slots pull the next unprocessed sample
         dead = ~state["alive"] & (tile(jnp.ones(pool, jnp.int32), r) == 1)

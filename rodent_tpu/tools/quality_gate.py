@@ -43,7 +43,7 @@ def main(argv=None):
     from ..io import png
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj
+    from ..render.compiler import compile_obj, packet_ok
     from ..render.integrator import render_iteration_persistent
 
     ref = png.read_png(args.ref)[..., :3]
@@ -56,12 +56,13 @@ def main(argv=None):
         W, H = W0, H0
 
     scene = compile_obj(args.scene, max_path_len=64)
+    packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
     film = film_mod.new_film(W, H)
     t0 = time.time()
     for it in range(args.iters):
         film = render_iteration_persistent(scene.device, cam, film, W, H,
-                                           args.spp, it)
+                                           args.spp, it, packet=packet)
     jax.block_until_ready(film)
     img = film_mod.tonemap(film, W, H, args.iters)
     if args.output:

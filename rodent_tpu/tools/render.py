@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--sharded", action="store_true",
                    help="render over all devices (image-plane sharding)")
+    p.add_argument("--no-packet", action="store_true",
+                   help="disable the Pallas packet traversal (used by "
+                        "default when the BVH fits in VMEM)")
     args = p.parse_args(argv)
 
     import jax
@@ -42,11 +45,14 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj
+    from ..render.compiler import compile_obj, packet_ok
     from ..render.integrator import render_iteration
     from ..io import png
 
     scene = compile_obj(args.scene, max_path_len=args.max_path_len)
+    import jax as _jax
+    packet = ((not args.no_packet) and packet_ok(scene.device)
+              and _jax.default_backend() == "tpu")
     cam = Camera.make(args.eye, args.dir, args.up, args.fov,
                       args.width, args.height)
     film = film_mod.new_film(args.width, args.height)
@@ -58,7 +64,8 @@ def main(argv=None):
             scene.device, cam, f, args.width, args.height, args.spp, i, mesh)
     else:
         step = lambda f, i: render_iteration(
-            scene.device, cam, f, args.width, args.height, args.spp, i)
+            scene.device, cam, f, args.width, args.height, args.spp, i,
+            packet=packet)
 
     samples_per_iter = args.width * args.height * args.spp
     times = []

@@ -1,0 +1,288 @@
+"""Pallas shared-stack packet traversal — the VMEM-resident fast path.
+
+The reference's packet kernel maps one ray per SIMD lane with a stack
+shared by the packet (cpu_traverse_hybrid_helper,
+src/traversal/mapping_cpu.impala:259-384). The TPU generalization: one
+Pallas grid step owns a TILE of TR*128 rays and ONE traversal stack in
+SMEM; the whole BVH lives in VMEM (v5e has ~128 MB VMEM with
+vmem_limit_bytes raised — measured), so a node visit is a scalar-indexed
+row load + full-tile VPU slab tests, with zero HBM gathers in the loop:
+
+  pop code (scalar, SMEM)
+    node: load row, test 8 children against the tile, reduce per child
+          (any-hit + min entry), push hit children sorted near-first
+    leaf: load Tri4 packet row, Moller-Trumbote 4 lanes vs the tile,
+          fold best hits; push next packet code unless last
+
+Shared-stack trade-off (same as the reference's packet mode): the tile
+visits the UNION of its rays' node sets, so coherence matters — pair with
+traversal.sorting for incoherent loads. Child ordering uses the tile-min
+entry distance as the scalar sort key (sorting network, scalar regs).
+
+Semantics identical to traversal.api.traverse / tiled.traverse_components
+(cross-checked in tests via interpret mode on CPU and on-device vs the
+XLA path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tiled import _SORT_NETWORKS
+
+TILE_ROWS = 64           # rays per tile = TILE_ROWS * 128
+# measured on the hall-260K primary workload (1M rays, v5e):
+# tile_rows 8: 5.2 | 16: 9.4 | 32: 15.1 | 64: 19.9 | 128: 19.4 |
+# 256: 14.8 Mrays/s — bigger tiles amortize the scalar pop loop until
+# union-divergence (wasted lane work) takes over
+STACK = 64
+_F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
+
+
+def _kernel(rays_ref, nodes_ref, tris_ref,
+            t_ref, u_ref, v_ref, prim_ref, geom_ref,
+            stack_ref, arity, m, any_hit):
+    from jax.experimental import pallas as pl
+
+    inv_d = [rays_ref[i] for i in range(3)]        # (TR, 128) each
+    inv_o = [rays_ref[3 + i] for i in range(3)]
+    org = [rays_ref[6 + i] for i in range(3)]
+    dirv = [rays_ref[9 + i] for i in range(3)]
+    tmin = rays_ref[12]
+    tmax = rays_ref[13]
+
+    stack_ref[0] = jnp.int32(1)  # root (1-based node ref)
+
+    def node_step(code, t_cur, sptr):
+        row = nodes_ref[pl.ds(code - 1, 1), :]     # (1, 7A)
+        # Mosaic has no scalar bitcast; bitcast the row vector once
+        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+        keys = []
+        childs = []
+        for c in range(arity):
+            tx0 = row[0, 0 * arity + c] * inv_d[0] + inv_o[0]
+            tx1 = row[0, 1 * arity + c] * inv_d[0] + inv_o[0]
+            ty0 = row[0, 2 * arity + c] * inv_d[1] + inv_o[1]
+            ty1 = row[0, 3 * arity + c] * inv_d[1] + inv_o[1]
+            tz0 = row[0, 4 * arity + c] * inv_d[2] + inv_o[2]
+            tz1 = row[0, 5 * arity + c] * inv_d[2] + inv_o[2]
+            ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                          jnp.minimum(ty0, ty1)),
+                              jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+            ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
+            ch = row_i[0, 6 * arity + c]
+            # tile-min entry distance; +inf when no ray hits this child
+            key = jnp.min(jnp.where(ent <= ext, ent, _F32_MAX))
+            valid = (ch != 0) & (key < _F32_MAX)
+            keys.append(jnp.where(valid, key, _F32_MAX))
+            childs.append(jnp.where(valid, ch, 0))
+
+        if not any_hit:
+            for i, j in _SORT_NETWORKS[arity]:
+                swap = keys[i] > keys[j]
+                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                                    jnp.where(swap, keys[i], keys[j]))
+                childs[i], childs[j] = (
+                    jnp.where(swap, childs[j], childs[i]),
+                    jnp.where(swap, childs[i], childs[j]))
+        # push far-to-near so the nearest child pops first; skip empties
+        for r in range(arity - 1, -1, -1):
+            ok = childs[r] != 0
+            stack_ref[jnp.where(ok, sptr, STACK - 1)] = jnp.where(
+                ok, childs[r], stack_ref[STACK - 1])
+            sptr = sptr + jnp.where(ok, 1, 0)
+        return t_cur, sptr
+
+    def leaf_step(code, carry, sptr):
+        t_cur, u_b, v_b, p_b, g_b = carry
+        row = tris_ref[pl.ds(~code, 1), :]         # (1, 14M)
+        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+        is_last = jnp.int32(0)
+        for lane in range(m):
+            v0 = [row[0, k * m + lane] for k in range(3)]
+            e1 = [row[0, (3 + k) * m + lane] for k in range(3)]
+            e2 = [row[0, (6 + k) * m + lane] for k in range(3)]
+            nn = [row[0, (9 + k) * m + lane] for k in range(3)]
+            pid = row_i[0, 12 * m + lane]
+            gid = row_i[0, 13 * m + lane]
+            cx, cy, cz = v0[0] - org[0], v0[1] - org[1], v0[2] - org[2]
+            rx = dirv[1] * cz - dirv[2] * cy
+            ry = dirv[2] * cx - dirv[0] * cz
+            rz = dirv[0] * cy - dirv[1] * cx
+            det = nn[0] * dirv[0] + nn[1] * dirv[1] + nn[2] * dirv[2]
+            abs_det = jnp.abs(det)
+            sign = jnp.where(det < 0, jnp.float32(-1.0), jnp.float32(1.0))
+            uu = (rx * e2[0] + ry * e2[1] + rz * e2[2]) * sign
+            vv = (rx * e1[0] + ry * e1[1] + rz * e1[2]) * sign
+            tt = (cx * nn[0] + cy * nn[1] + cz * nn[2]) * sign
+            ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= abs_det)
+                  & (abs_det != 0.0)
+                  & (tt >= abs_det * tmin) & (tt <= abs_det * t_cur)
+                  & (pid != -1))
+            inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
+            tv = tt * inv_det
+            upd = ok & (tv < t_cur)
+            t_cur = jnp.where(upd, tv, t_cur)
+            u_b = jnp.where(upd, uu * inv_det, u_b)
+            v_b = jnp.where(upd, vv * inv_det, v_b)
+            p_b = jnp.where(upd, pid & 0x7FFFFFFF, p_b)
+            g_b = jnp.where(upd, gid, g_b)
+            if lane == m - 1:
+                is_last = pid < 0
+        # continue multi-packet leaves
+        cont = jnp.logical_not(is_last)
+        stack_ref[jnp.where(cont, sptr, STACK - 1)] = jnp.where(
+            cont, code - 1, stack_ref[STACK - 1])
+        sptr = sptr + jnp.where(cont, 1, 0)
+        return (t_cur, u_b, v_b, p_b, g_b), sptr
+
+    def cond(c):
+        sptr = c[0]
+        if any_hit:
+            return (sptr > 0) & jnp.logical_not(c[1])
+        return sptr > 0
+
+    def body(c):
+        if any_hit:
+            sptr, _, t_cur, u_b, v_b, p_b, g_b = c
+        else:
+            sptr, t_cur, u_b, v_b, p_b, g_b = c
+        sptr = sptr - 1
+        code = stack_ref[sptr]
+
+        def do_node(_):
+            t2, sp2 = node_step(code, t_cur, sptr)
+            return (sp2, t2, u_b, v_b, p_b, g_b)
+
+        def do_leaf(_):
+            (t2, u2, v2, p2, g2), sp2 = leaf_step(
+                code, (t_cur, u_b, v_b, p_b, g_b), sptr)
+            return (sp2, t2, u2, v2, p2, g2)
+
+        sp2, t2, u2, v2, p2, g2 = jax.lax.cond(code > 0, do_node, do_leaf,
+                                               None)
+        if any_hit:
+            all_done = jnp.min(jnp.where(tmax < tmin, 1,
+                                         (p2 >= 0).astype(jnp.int32))) > 0
+            return (sp2, all_done, t2, u2, v2, p2, g2)
+        return (sp2, t2, u2, v2, p2, g2)
+
+    init_hits = (tmax,
+                 jnp.zeros_like(tmax),
+                 jnp.zeros_like(tmax),
+                 jnp.full(tmax.shape, -1, jnp.int32),
+                 jnp.full(tmax.shape, -1, jnp.int32))
+    # skip entirely-dead tiles cheaply: root still pops, tests all miss
+    if any_hit:
+        init = (jnp.int32(1), jnp.bool_(False)) + init_hits
+    else:
+        init = (jnp.int32(1),) + init_hits
+    out = jax.lax.while_loop(cond, body, init)
+    t_b, u_b, v_b, p_b, g_b = out[-5:]
+    t_ref[:] = t_b
+    u_ref[:] = u_b
+    v_ref[:] = v_b
+    prim_ref[:] = p_b
+    geom_ref[:] = g_b
+
+
+def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
+                               any_hit=False, tile_rows=TILE_ROWS,
+                               interpret=False):
+    """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
+    hit dict of (R, 128) arrays out (integrator-facing; dead rays =
+    tmax < tmin)."""
+    R = tmin.shape[0]
+    nt = -(-R // tile_rows)
+    pad = nt * tile_rows - R
+
+    def prep(x, fill=0.0):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad, 128), fill, x.dtype)])
+        return x
+
+    comp = [prep(c) for c in inv_d] + [prep(c) for c in inv_o]
+    comp += [prep(c) for c in org] + [prep(c) for c in dirv]
+    comp += [prep(tmin), prep(tmax, fill=-1.0)]
+    packed = jnp.stack(comp)
+    outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret)
+    t, u, v, p, g = [o[:R] for o in outs]
+    t = jnp.where(p < 0, tmax, t)
+    return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
+
+
+def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
+                    interpret=False):
+    """Packet-kernel traversal; same contract as api.traverse.
+    Requires the BVH to fit in VMEM (~100 MB with the raised limit)."""
+    B = rays["org"].shape[0]
+    tile = tile_rows * 128
+    nt = -(-B // tile)
+    pad = nt * tile - B
+
+    def prep(x, fill=0.0):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+        return x
+
+    comp = [prep(rays["inv_dir"][:, i]) for i in range(3)]
+    comp += [prep(rays["inv_org"][:, i]) for i in range(3)]
+    comp += [prep(rays["org"][:, i]) for i in range(3)]
+    comp += [prep(rays["dir"][:, i]) for i in range(3)]
+    comp += [prep(rays["tmin"]), prep(rays["tmax"], fill=-1.0)]
+    packed = jnp.stack(comp).reshape(14, nt * tile_rows, 128)
+
+    outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret)
+    t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs]
+    t = jnp.where(p < 0, rays["tmax"], t)
+    return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
+
+
+def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # no Mosaic off-TPU: fall back to the interpreter automatically so the
+    # packet path stays testable on the CPU suite
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    arity = dev["nodes"].shape[1] // 7
+    m = dev["tris"].shape[1] // 14
+    kern = functools.partial(_kernel, arity=arity, m=m, any_hit=any_hit)
+    out_shapes = [
+        jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.int32),
+    ]
+    tile_spec = pl.BlockSpec((1, tile_rows, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    rays_spec = pl.BlockSpec((14, tile_rows, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nt,),
+        out_shape=out_shapes,
+        in_specs=[rays_spec,
+                  pl.BlockSpec(dev["nodes"].shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(dev["tris"].shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[out_spec] * 5,
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(packed, dev["nodes"], dev["tris"])

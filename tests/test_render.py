@@ -96,3 +96,15 @@ def test_persistent_matches_progressive(cornell):
         pool=256)  # pool < total: forces regeneration
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_packet_render_matches(cornell):
+    """Rendering with the Pallas packet traversal (interpret mode on CPU)
+    must match the XLA-traversal film bit-for-bit (same RNG streams)."""
+    from rodent_tpu.render.integrator import render_iteration as ri
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 16, 16)
+    f1 = ri(cornell.device, cam, film_mod.new_film(16, 16), 16, 16, 1, 0)
+    f2 = ri(cornell.device, cam, film_mod.new_film(16, 16), 16, 16, 1, 0,
+            packet=True)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-5, atol=1e-6)

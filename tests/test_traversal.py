@@ -198,3 +198,24 @@ def test_octant_sort_preserves_results():
     from rodent_tpu.traversal.sorting import ray_octant
     octs = np.asarray(ray_octant(sorted_rays["dir"]))
     assert (np.diff(octs) >= 0).all()
+
+
+def test_packet_kernel_matches_api():
+    """The Pallas shared-stack packet kernel (interpret mode on CPU) must
+    agree exactly with api.traverse, including any-hit."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=49)  # non-multiple of tile size
+    a = traverse(dev, rays)
+    b = traverse_packet(dev, rays, tile_rows=16)
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                               atol=1e-5, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                  np.asarray(b["prim_id"]))
+    rays2 = random_rays(256, seed=51, tmax=2.0)
+    wa = np.asarray(traverse(dev, rays2, any_hit=True)["prim_id"]) >= 0
+    ga = np.asarray(traverse_packet(dev, rays2, any_hit=True,
+                                    tile_rows=16)["prim_id"]) >= 0
+    np.testing.assert_array_equal(wa, ga)
