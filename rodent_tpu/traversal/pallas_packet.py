@@ -46,6 +46,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
             stack_ref, arity, m, any_hit):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     inv_d = [rays_ref[i] for i in range(3)]        # (TR, 128) each
     inv_o = [rays_ref[3 + i] for i in range(3)]
@@ -57,7 +58,13 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     stack_ref[0] = jnp.int32(1)  # root (1-based node ref)
 
     def node_step(code, t_cur, sptr):
-        row = nodes_ref[pl.ds(code - 1, 1), :]     # (1, 7A)
+        # rows are packed two-per-128-lane line (VMEM pads the last dim
+        # to 128 lanes, so 56-wide rows would waste 2.3x VMEM)
+        idx = code - 1
+        row = nodes_ref[pl.ds(idx // 2, 1), :]     # (1, 128)
+        # bring the selected 64-lane half to lane 0 (dynamic lane offsets
+        # cannot lower; dynamic rotate can)
+        row = pltpu.roll(row, -(idx % 2) * 64, axis=1)
         # Mosaic has no scalar bitcast; bitcast the row vector once
         row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
         keys = []
@@ -100,7 +107,9 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 
     def leaf_step(code, carry, sptr):
         t_cur, u_b, v_b, p_b, g_b = carry
-        row = tris_ref[pl.ds(~code, 1), :]         # (1, 14M)
+        pidx = ~code
+        row = tris_ref[pl.ds(pidx // 2, 1), :]     # (1, 128)
+        row = pltpu.roll(row, -(pidx % 2) * 64, axis=1)
         row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
         is_last = jnp.int32(0)
         for lane in range(m):
@@ -245,6 +254,15 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
 
 
+def _pack_two_per_line(table):
+    """(N, C<=64) -> (ceil(N/2), 128): two 64-float-padded rows per
+    128-lane VMEM line (avoids the 128-lane padding waste)."""
+    n, c = table.shape
+    padded = jnp.zeros((n + (n % 2), 64), table.dtype)
+    padded = padded.at[:n, :c].set(table)
+    return padded.reshape(-1, 128)
+
+
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -252,6 +270,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
     # no Mosaic off-TPU: fall back to the interpreter automatically so the
     # packet path stays testable on the CPU suite
     interpret = interpret or jax.default_backend() != "tpu"
+    nodes2 = _pack_two_per_line(dev["nodes"])
+    tris2 = _pack_two_per_line(dev["tris"])
 
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
@@ -276,13 +296,13 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
         grid=(nt,),
         out_shape=out_shapes,
         in_specs=[rays_spec,
-                  pl.BlockSpec(dev["nodes"].shape, lambda i: (0, 0),
+                  pl.BlockSpec(nodes2.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(dev["tris"].shape, lambda i: (0, 0),
+                  pl.BlockSpec(tris2.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[out_spec] * 5,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(packed, dev["nodes"], dev["tris"])
+    )(packed, nodes2, tris2)
