@@ -139,40 +139,45 @@ int rt_lz4_decompress(const uint8_t* src, int src_len, uint8_t* dst,
 
     while (ip < iend) {
         uint8_t token = *ip++;
-        // literals
-        int lit = token >> 4;
+        // literals — accumulate in 64-bit and bound-check against the
+        // remaining input/output BEFORE any pointer arithmetic: an ~8 MB
+        // run of 0xFF extension bytes would overflow a 32-bit length and
+        // the `ip + lit` comparison would be pointer-overflow UB
+        int64_t lit = token >> 4;
         if (lit == 15) {
             uint8_t b;
             do {
                 if (ip >= iend) return -1;
                 b = *ip++;
                 lit += b;
+                if (lit > int64_t(dst_cap) + 255) return -1;
             } while (b == 255);
         }
-        if (ip + lit > iend || op + lit > oend) return -1;
-        std::memcpy(op, ip, lit);
+        if (lit > iend - ip || lit > oend - op) return -1;
+        std::memcpy(op, ip, size_t(lit));
         ip += lit;
         op += lit;
         if (ip >= iend) break;  // last sequence: literals only
 
         // match
-        if (ip + 2 > iend) return -1;
+        if (iend - ip < 2) return -1;
         int offset = ip[0] | (ip[1] << 8);
         ip += 2;
         if (offset == 0 || op - dst < offset) return -1;
-        int mlen = (token & 15) + MIN_MATCH;
+        int64_t mlen = (token & 15) + MIN_MATCH;
         if ((token & 15) == 15) {
             uint8_t b;
             do {
                 if (ip >= iend) return -1;
                 b = *ip++;
                 mlen += b;
+                if (mlen > int64_t(dst_cap) + 255) return -1;
             } while (b == 255);
         }
-        if (op + mlen > oend) return -1;
+        if (mlen > oend - op) return -1;
         const uint8_t* mp = op - offset;
         // byte-wise copy: offsets < mlen overlap intentionally
-        for (int i = 0; i < mlen; ++i) op[i] = mp[i];
+        for (int64_t i = 0; i < mlen; ++i) op[i] = mp[i];
         op += mlen;
     }
     return int(op - dst);

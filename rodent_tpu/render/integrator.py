@@ -169,12 +169,11 @@ def _sample_bank(scene, tex_id, uv):
     v = uv[1] - jnp.floor(uv[1])
     x = u * w
     y = v * h
-    x0 = jnp.clip(jnp.floor(x - 0.5), 0.0, w - 1)
-    y0 = jnp.clip(jnp.floor(y - 0.5), 0.0, h - 1)
-    fx = jnp.clip(x - 0.5 - x0, 0.0, 1.0)
-    fy = jnp.clip(y - 0.5 - y0, 0.0, 1.0)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    # reference corner convention (image.impala:65-84): x0=trunc, kx=frac
+    x0i = jnp.minimum(x.astype(jnp.int32), w.astype(jnp.int32) - 1)
+    y0i = jnp.minimum(y.astype(jnp.int32), h.astype(jnp.int32) - 1)
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
     x1i = jnp.minimum(x0i + 1, w.astype(jnp.int32) - 1)
     y1i = jnp.minimum(y0i + 1, h.astype(jnp.int32) - 1)
 

@@ -26,8 +26,13 @@ FILTER_BILINEAR = "bilinear"
 
 def image_from_u8(rgba, gamma=2.2):
     """u8 (H, W, C) -> linear f32 (H, W, 3) (image.cpp:10-18 applies
-    gamma on load)."""
-    img = np.asarray(rgba, np.float32)[..., :3] / 255.0
+    gamma on load). Gray / gray+alpha inputs broadcast luma to RGB."""
+    img = np.asarray(rgba, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] < 3:  # gray or gray+alpha PNG (color_type 0/4)
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    img = img[..., :3] / 255.0
     return np.power(img, gamma).astype(np.float32)
 
 
@@ -51,15 +56,16 @@ def sample_texture(image, uv, border=BORDER_REPEAT, filter=FILTER_BILINEAR):
         x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
         y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
         return image[y, x]
-    # bilinear (image.impala:65-84): texel centers at integer corners
+    # bilinear (image.impala:65-84): the reference's corner convention —
+    # x0 = trunc(u*w) clamped, weight = frac(u*w) (no half-texel shift)
     x = u * w
     y = v * h
-    x0 = jnp.clip(jnp.floor(x - 0.5), 0, w - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(y - 0.5), 0, h - 1).astype(jnp.int32)
+    x0 = jnp.minimum(x.astype(jnp.int32), w - 1)
+    y0 = jnp.minimum(y.astype(jnp.int32), h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = jnp.clip(x - 0.5 - x0, 0.0, 1.0)[..., None]
-    fy = jnp.clip(y - 0.5 - y0, 0.0, 1.0)[..., None]
+    fx = (x - jnp.floor(x))[..., None]
+    fy = (y - jnp.floor(y))[..., None]
     c00 = image[y0, x0]
     c01 = image[y0, x1]
     c10 = image[y1, x0]
@@ -118,12 +124,11 @@ def sample_bank(bank, hw, tex_id, uv, border=BORDER_REPEAT,
         return fetch(x, y)
     x = u * w
     y = v * h
-    x0 = jnp.clip(jnp.floor(x - 0.5), 0, (w - 1).astype(jnp.float32))
-    y0 = jnp.clip(jnp.floor(y - 0.5), 0, (h - 1).astype(jnp.float32))
-    fx = jnp.clip(x - 0.5 - x0, 0.0, 1.0)[..., None]
-    fy = jnp.clip(y - 0.5 - y0, 0.0, 1.0)[..., None]
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    # reference corner convention (image.impala:65-84)
+    x0 = jnp.minimum(x.astype(jnp.int32), w - 1)
+    y0 = jnp.minimum(y.astype(jnp.int32), h - 1)
+    fx = (x - jnp.floor(x))[..., None]
+    fy = (y - jnp.floor(y))[..., None]
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
     c00 = fetch(x0, y0)

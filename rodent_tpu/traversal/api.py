@@ -31,6 +31,8 @@ intersector is also provided for small scenes.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,9 +41,77 @@ from .primitives import empty_hit, make_rays
 
 # The reference uses a 64-deep stack (src/traversal/stack.impala:53); for
 # the batched TPU loop every stack column costs a (B, S) buffer pass per
-# push, so we default to 32 — ordered wide-BVH traversal rarely exceeds
-# ~16 live entries (overflowing pushes would be dropped).
+# push, so we default to 32. The actual stack size is chosen per-BVH from
+# the tree's worst-case requirement (BvhMeta, computed host-side in
+# bvh_to_device), so overflow cannot occur; STACK_DEPTH is only the
+# fallback for hand-built device dicts without metadata.
 STACK_DEPTH = 32
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class BvhMeta:
+    """Static (jit-invisible) per-BVH metadata.
+
+    Registered as a static pytree node, so it rides inside the traced
+    device dict while staying a plain Python value — traversal kernels use
+    it to size their stacks at trace time. The reference's fixed 64-entry
+    stack (src/traversal/stack.impala:53) can silently overflow on
+    adversarially deep trees; computing the exact worst case at build time
+    removes that failure mode at zero runtime cost.
+
+    shared_stack: worst-case entries for a single mixed node/leaf stack
+        (api.traverse, pallas_packet) assuming every child of every popped
+        node is pushed and pop order is adversarial.
+    node_stack: same for a node-only stack (tiled.py's dual-queue form,
+        where leaf refs live on a separately-guarded stack).
+    """
+    shared_stack: int
+    node_stack: int
+
+
+def compute_stack_needs(child):
+    """Worst-case traversal stack requirements for a BVH child table.
+
+    child: (N, A) int32 — >0 inner (index+1), <0 leaf (~packet), 0 empty.
+    Returns (shared_need, node_need) with the recurrence
+        S(n) = max(1, max_i(S_desc[i] + k - 1 - i))
+    over the k pushed children sorted by need descending (adversarial pop
+    order upper bound for a LIFO stack); leaves need 1 slot on the shared
+    stack (multi-packet continuations replace in place) and 0 on the node
+    stack. Vectorized levelized sweep: each pass resolves every node whose
+    inner children are all resolved, so passes == tree depth."""
+    child = np.asarray(child)
+    n, a = child.shape
+    inner = child > 0
+    leaf = child < 0
+    idx = np.where(inner, child - 1, 0)
+    NEG = np.int64(-1) << 40
+    ar = np.arange(a, dtype=np.int64)[None, :]
+    s_val = np.full(n, -1, np.int64)
+    n_val = np.full(n, -1, np.int64)
+    pend = np.ones(n, bool)
+    while pend.any():
+        child_s = np.where(inner, s_val[idx], 0)
+        ready = pend & ~((inner & (child_s < 0)).any(axis=1))
+        if not ready.any():
+            raise ValueError("BVH child graph is not a tree")
+        # shared stack: leaf slots need 1, inner slots their subtree need
+        slot = np.where(leaf[ready], 1,
+                        np.where(inner[ready], child_s[ready], NEG))
+        k = (slot > NEG).sum(axis=1)[:, None]
+        srt = -np.sort(-slot, axis=1)
+        vals = np.where(ar < k, srt + (k - 1 - ar), NEG)
+        s_val[ready] = np.maximum(vals.max(axis=1), 1)
+        # node-only stack: leaf children are excluded entirely
+        child_nv = np.where(inner, n_val[idx], 0)
+        slot_n = np.where(inner[ready], child_nv[ready], NEG)
+        kn = inner[ready].sum(axis=1)[:, None]
+        srt_n = -np.sort(-slot_n, axis=1)
+        vals_n = np.where(ar < kn, srt_n + (kn - 1 - ar), NEG)
+        n_val[ready] = np.maximum(vals_n.max(axis=1), 1)
+        pend &= ~ready
+    return int(s_val[0]), int(n_val[0])
 
 
 def _bitcast_f32(x):
@@ -71,10 +141,13 @@ def bvh_to_device(bvh):
     tris[:, 13 * m:14 * m] = bvh.geom_id.view(np.float32)
 
     # arity/packet stay derivable from the static row widths (7A, 14M)
-    # so they never become traced values under jit
+    # so they never become traced values under jit; "meta" is a static
+    # pytree node (stack sizing data, no array leaves)
+    s_need, n_need = compute_stack_needs(bvh.child)
     return {
         "nodes": jnp.asarray(nodes),
         "tris": jnp.asarray(tris),
+        "meta": BvhMeta(shared_stack=s_need, node_stack=n_need),
     }
 
 
@@ -90,15 +163,20 @@ def _node_test(dev, rays, nidx, t_cur):
     ix = rays["inv_dir"][:, 0:1]
     iy = rays["inv_dir"][:, 1:2]
     iz = rays["inv_dir"][:, 2:3]
-    ox = rays["inv_org"][:, 0:1]
-    oy = rays["inv_org"][:, 1:2]
-    oz = rays["inv_org"][:, 2:3]
-    tx0 = row[:, 0 * a:1 * a] * ix + ox
-    tx1 = row[:, 1 * a:2 * a] * ix + ox
-    ty0 = row[:, 2 * a:3 * a] * iy + oy
-    ty1 = row[:, 3 * a:4 * a] * iy + oy
-    tz0 = row[:, 4 * a:5 * a] * iz + oz
-    tz1 = row[:, 5 * a:6 * a] * iz + oz
+    ox = rays["org"][:, 0:1]
+    oy = rays["org"][:, 1:2]
+    oz = rays["org"][:, 2:3]
+    # (bound - org) * inv_dir, NOT bound*inv_dir + inv_org: safe_rcp
+    # returns finite +-FLT_MAX for zero direction components, so this form
+    # can overflow to +-inf but never produce (inf - inf) = NaN — NaN in
+    # the slab min/max silently misses whole subtrees for axis-aligned
+    # rays (same flop count: sub+mul vs mul+add)
+    tx0 = (row[:, 0 * a:1 * a] - ox) * ix
+    tx1 = (row[:, 1 * a:2 * a] - ox) * ix
+    ty0 = (row[:, 2 * a:3 * a] - oy) * iy
+    ty1 = (row[:, 3 * a:4 * a] - oy) * iy
+    tz0 = (row[:, 4 * a:5 * a] - oz) * iz
+    tz1 = (row[:, 5 * a:6 * a] - oz) * iz
     entry = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                     jnp.minimum(ty0, ty1)),
                         jnp.maximum(jnp.minimum(tz0, tz1),
@@ -210,7 +288,9 @@ def traverse(dev, rays, any_hit=False, stack_depth=None):
     B = rays["org"].shape[0]
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
-    S = stack_depth or STACK_DEPTH
+    meta = dev.get("meta")
+    S = stack_depth or (max(meta.shared_stack, 4)
+                        if isinstance(meta, BvhMeta) else STACK_DEPTH)
 
     stack = jnp.zeros((B, S), jnp.int32)
     stack = stack.at[:, 0].set(1)  # root node ref (1-based)
@@ -347,4 +427,5 @@ def intersect_bruteforce(dev, rays, any_hit=False):
 
 
 __all__ = ["make_rays", "traverse", "occluded", "bvh_to_device",
-           "intersect_bruteforce", "STACK_DEPTH"]
+           "intersect_bruteforce", "STACK_DEPTH", "BvhMeta",
+           "compute_stack_needs"]

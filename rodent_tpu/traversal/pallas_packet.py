@@ -44,16 +44,15 @@ _F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
 
 def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
-            stack_ref, arity, m, any_hit):
+            stack_ref, arity, m, any_hit, stack_size):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     inv_d = [rays_ref[i] for i in range(3)]        # (TR, 128) each
-    inv_o = [rays_ref[3 + i] for i in range(3)]
-    org = [rays_ref[6 + i] for i in range(3)]
-    dirv = [rays_ref[9 + i] for i in range(3)]
-    tmin = rays_ref[12]
-    tmax = rays_ref[13]
+    org = [rays_ref[3 + i] for i in range(3)]
+    dirv = [rays_ref[6 + i] for i in range(3)]
+    tmin = rays_ref[9]
+    tmax = rays_ref[10]
 
     stack_ref[0] = jnp.int32(1)  # root (1-based node ref)
 
@@ -70,12 +69,14 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         keys = []
         childs = []
         for c in range(arity):
-            tx0 = row[0, 0 * arity + c] * inv_d[0] + inv_o[0]
-            tx1 = row[0, 1 * arity + c] * inv_d[0] + inv_o[0]
-            ty0 = row[0, 2 * arity + c] * inv_d[1] + inv_o[1]
-            ty1 = row[0, 3 * arity + c] * inv_d[1] + inv_o[1]
-            tz0 = row[0, 4 * arity + c] * inv_d[2] + inv_o[2]
-            tz1 = row[0, 5 * arity + c] * inv_d[2] + inv_o[2]
+            # (bound - org) * inv_dir: NaN-free for axis-aligned rays
+            # (see api._node_test)
+            tx0 = (row[0, 0 * arity + c] - org[0]) * inv_d[0]
+            tx1 = (row[0, 1 * arity + c] - org[0]) * inv_d[0]
+            ty0 = (row[0, 2 * arity + c] - org[1]) * inv_d[1]
+            ty1 = (row[0, 3 * arity + c] - org[1]) * inv_d[1]
+            tz0 = (row[0, 4 * arity + c] - org[2]) * inv_d[2]
+            tz1 = (row[0, 5 * arity + c] - org[2]) * inv_d[2]
             ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                           jnp.minimum(ty0, ty1)),
                               jnp.maximum(jnp.minimum(tz0, tz1), tmin))
@@ -98,10 +99,13 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                     jnp.where(swap, childs[j], childs[i]),
                     jnp.where(swap, childs[i], childs[j]))
         # push far-to-near so the nearest child pops first; skip empties
+        # (slot stack_size-1 is a write-back trash slot for masked pushes;
+        # stack_size is sized past the tree's worst case in _call_kernel,
+        # so live entries never reach it)
         for r in range(arity - 1, -1, -1):
             ok = childs[r] != 0
-            stack_ref[jnp.where(ok, sptr, STACK - 1)] = jnp.where(
-                ok, childs[r], stack_ref[STACK - 1])
+            stack_ref[jnp.where(ok, sptr, stack_size - 1)] = jnp.where(
+                ok, childs[r], stack_ref[stack_size - 1])
             sptr = sptr + jnp.where(ok, 1, 0)
         return t_cur, sptr
 
@@ -145,8 +149,8 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                 is_last = pid < 0
         # continue multi-packet leaves
         cont = jnp.logical_not(is_last)
-        stack_ref[jnp.where(cont, sptr, STACK - 1)] = jnp.where(
-            cont, code - 1, stack_ref[STACK - 1])
+        stack_ref[jnp.where(cont, sptr, stack_size - 1)] = jnp.where(
+            cont, code - 1, stack_ref[stack_size - 1])
         sptr = sptr + jnp.where(cont, 1, 0)
         return (t_cur, u_b, v_b, p_b, g_b), sptr
 
@@ -216,7 +220,7 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                 [x, jnp.full((pad, 128), fill, x.dtype)])
         return x
 
-    comp = [prep(c) for c in inv_d] + [prep(c) for c in inv_o]
+    comp = [prep(c) for c in inv_d]
     comp += [prep(c) for c in org] + [prep(c) for c in dirv]
     comp += [prep(tmin), prep(tmax, fill=-1.0)]
     packed = jnp.stack(comp)
@@ -242,11 +246,10 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
         return x
 
     comp = [prep(rays["inv_dir"][:, i]) for i in range(3)]
-    comp += [prep(rays["inv_org"][:, i]) for i in range(3)]
     comp += [prep(rays["org"][:, i]) for i in range(3)]
     comp += [prep(rays["dir"][:, i]) for i in range(3)]
     comp += [prep(rays["tmin"]), prep(rays["tmax"], fill=-1.0)]
-    packed = jnp.stack(comp).reshape(14, nt * tile_rows, 128)
+    packed = jnp.stack(comp).reshape(11, nt * tile_rows, 128)
 
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs]
@@ -275,7 +278,16 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
 
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
-    kern = functools.partial(_kernel, arity=arity, m=m, any_hit=any_hit)
+    # size the SMEM stack past the tree's worst case (+1 trash slot for
+    # masked pushes) — ADVICE r1: the fixed 64-entry stack could silently
+    # corrupt SMEM on deep/unbalanced trees. Scalar SMEM is cheap; the
+    # pop/push code does not scale with stack size.
+    from .api import BvhMeta
+    meta = dev.get("meta")
+    stack_size = (max(meta.shared_stack + 2, 16)
+                  if isinstance(meta, BvhMeta) else STACK)
+    kern = functools.partial(_kernel, arity=arity, m=m, any_hit=any_hit,
+                             stack_size=stack_size)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
@@ -285,7 +297,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
     ]
     tile_spec = pl.BlockSpec((1, tile_rows, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
-    rays_spec = pl.BlockSpec((14, tile_rows, 128), lambda i: (0, i, 0),
+    rays_spec = pl.BlockSpec((11, tile_rows, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
@@ -301,7 +313,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
                   pl.BlockSpec(tris2.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[out_spec] * 5,
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_size,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,

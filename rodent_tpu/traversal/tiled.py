@@ -74,9 +74,16 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     stalls when its leaf stack could overflow (lptr > S_L - arity), which
     guarantees boundedness; leaves always drain, so progress is
     guaranteed."""
+    from .api import BvhMeta
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
-    S_N = stack_depth or NODE_STACK_DEPTH
+    # node stack sized to the tree's worst case (BvhMeta is a static pytree
+    # node computed host-side in bvh_to_device) so pushes cannot be
+    # silently dropped; shallow trees get a SMALLER stack than the old
+    # fixed 24, which shrinks the one-hot select chains
+    meta = dev.get("meta")
+    S_N = stack_depth or (max(meta.node_stack, 4)
+                          if isinstance(meta, BvhMeta) else NODE_STACK_DEPTH)
     S_L = LEAF_STACK_DEPTH
     R = tmin.shape[0]
 
@@ -137,12 +144,14 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
         entry = []
         chit = []
         for c in range(arity):
-            tx0 = nc[0 * arity + c] * inv_d[0] + inv_o[0]
-            tx1 = nc[1 * arity + c] * inv_d[0] + inv_o[0]
-            ty0 = nc[2 * arity + c] * inv_d[1] + inv_o[1]
-            ty1 = nc[3 * arity + c] * inv_d[1] + inv_o[1]
-            tz0 = nc[4 * arity + c] * inv_d[2] + inv_o[2]
-            tz1 = nc[5 * arity + c] * inv_d[2] + inv_o[2]
+            # (bound - org) * inv_dir: NaN-free for axis-aligned rays
+            # (see api._node_test)
+            tx0 = (nc[0 * arity + c] - org[0]) * inv_d[0]
+            tx1 = (nc[1 * arity + c] - org[0]) * inv_d[0]
+            ty0 = (nc[2 * arity + c] - org[1]) * inv_d[1]
+            ty1 = (nc[3 * arity + c] - org[1]) * inv_d[1]
+            tz0 = (nc[4 * arity + c] - org[2]) * inv_d[2]
+            tz1 = (nc[5 * arity + c] - org[2]) * inv_d[2]
             ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                           jnp.minimum(ty0, ty1)),
                               jnp.maximum(jnp.minimum(tz0, tz1), tmin))

@@ -41,18 +41,36 @@ def test_clamp_border():
 
 
 def test_bilinear_interpolates():
+    # reference corner convention (image.impala:65-84): x0 = trunc(u*w),
+    # kx = frac(u*w) — sample points sit on texel corners
     img = np.zeros((2, 2, 3), np.float32)
     img[0, 1] = 1.0  # one white texel
-    # exactly between the two top texel centers -> 0.5
+    # u*w = 1.0 exactly: x0=1, kx=0; v*h = 0.5: ky=0.5 between rows -> 0.5
     uv = jnp.asarray([[0.5, 0.25]])
     out = np.asarray(tx.sample_texture(img, uv, filter=tx.FILTER_BILINEAR,
                                        border=tx.BORDER_CLAMP))
     np.testing.assert_allclose(out[0], [0.5, 0.5, 0.5], atol=1e-6)
-    # at a texel center -> exact value
-    uv = jnp.asarray([[0.75, 0.25]])
+    # on the white texel's corner (u*w=1, v*h=0) -> exact value
+    uv = jnp.asarray([[0.5, 0.0]])
     out = np.asarray(tx.sample_texture(img, uv, filter=tx.FILTER_BILINEAR,
                                        border=tx.BORDER_CLAMP))
     np.testing.assert_allclose(out[0], [1, 1, 1], atol=1e-6)
+    # quarter of the way across the white texel: kx=0.25 from white to
+    # its right-clamped duplicate, ky=0 -> still 1; use bottom row zeros
+    # to check ky weighting: v=0.5 -> v*h=1, y0=1, ky=0 -> row 1 only
+    uv = jnp.asarray([[0.5, 0.5]])
+    out = np.asarray(tx.sample_texture(img, uv, filter=tx.FILTER_BILINEAR,
+                                       border=tx.BORDER_CLAMP))
+    np.testing.assert_allclose(out[0], [0, 0, 0], atol=1e-6)
+
+
+def test_grayscale_image_broadcasts():
+    u8 = np.full((2, 2, 1), 255, np.uint8)
+    lin = tx.image_from_u8(u8)
+    assert lin.shape == (2, 2, 3)
+    np.testing.assert_allclose(lin, 1.0)
+    lin2 = tx.image_from_u8(np.full((2, 2), 255, np.uint8))
+    assert lin2.shape == (2, 2, 3)
 
 
 def test_gamma_load():

@@ -219,3 +219,97 @@ def test_packet_kernel_matches_api():
     ga = np.asarray(traverse_packet(dev, rays2, any_hit=True,
                                     tile_rows=16)["prim_id"]) >= 0
     np.testing.assert_array_equal(wa, ga)
+
+
+def chain_bvh(depth, arity=4):
+    """Hand-built adversarial BVH: a depth-long chain where every node has
+    one inner child and one single-tri leaf, and ALL boxes overlap — a ray
+    down the axis pushes both children at every level, so shared-stack
+    usage grows linearly with depth (~depth+1 entries). Round-1 kernels
+    fixed the stack at 32/64 and silently dropped pushes here."""
+    n = depth
+    bounds = np.zeros((n, 6, arity), np.float32)
+    bounds[:, 0::2, :] = np.inf   # mins of empty slots
+    bounds[:, 1::2, :] = -np.inf  # maxs of empty slots
+    child = np.zeros((n, arity), np.int32)
+    for i in range(n):
+        for s in range(2 if i < n - 1 else 1):
+            bounds[i, :, s] = [-100, 100, -100, 100, -100, 100]
+        if i < n - 1:
+            child[i, 0] = i + 2        # inner ref to node i+1
+            child[i, 1] = ~i           # leaf packet i
+        else:
+            child[i, 0] = ~i
+    m = 4
+    v0 = np.zeros((n, m, 3), np.float32)
+    v1 = np.zeros((n, m, 3), np.float32)
+    v2 = np.zeros((n, m, 3), np.float32)
+    pid = np.full((n, m), -1, np.int32)
+    gid = np.zeros((n, m), np.int32)
+    for i in range(n):
+        z = -(i + 1.0)
+        v0[i, 0] = (-10, -10, z)
+        v1[i, 0] = (20, -10, z)
+        v2[i, 0] = (-10, 20, z)
+        pid[i, 0] = i
+    e1 = v0 - v1
+    e2 = v2 - v0
+    nrm = np.cross(e1, e2)
+    return WideBvh(arity=arity, packet=m, bounds=bounds, child=child,
+                   tri_v0=v0, tri_e1=e1, tri_e2=e2, tri_n=nrm,
+                   prim_id=pid, geom_id=gid)
+
+
+def test_stack_needs_exact_on_chain():
+    from rodent_tpu.traversal.api import compute_stack_needs
+    bvh = chain_bvh(60)
+    shared, node = compute_stack_needs(bvh.child)
+    # chain: S(i) = S(i+1) + 1 with S(last) = 1 -> 60; node-only stack
+    # holds a single inner child at a time -> 1
+    assert shared == 60
+    assert node == 1
+
+
+def test_deep_tree_no_silent_stack_overflow():
+    """Adversarial deep BVH (stack need ~60 > the old fixed 32/64): all
+    three traversal paths must still produce brute-force-correct hits
+    because stacks are now sized from BvhMeta at trace time."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    from rodent_tpu.traversal.tiled import traverse_tiled
+    bvh = chain_bvh(60)
+    dev = bvh_to_device(bvh)
+    assert dev["meta"].shared_stack == 60
+    n_rays = 64
+    r = np.random.RandomState(61)
+    org = np.stack([r.uniform(-5, 5, n_rays), r.uniform(-5, 5, n_rays),
+                    np.full(n_rays, 1.0)], axis=1).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n_rays, 1))
+    rays = make_rays(org, d, np.zeros(n_rays, np.float32),
+                     np.full(n_rays, 1e30, np.float32))
+    want = intersect_bruteforce(dev, rays)
+    # every ray must find the NEAREST (first) triangle at t == 2.0
+    np.testing.assert_allclose(np.asarray(want["t"]), 2.0, atol=1e-6)
+    for fn in (traverse, traverse_tiled,
+               lambda dv, rs: traverse_packet(dv, rs, tile_rows=1)):
+        got = fn(dev, rays)
+        np.testing.assert_allclose(np.asarray(got["t"]),
+                                   np.asarray(want["t"]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got["prim_id"]),
+                                      np.asarray(want["prim_id"]))
+
+
+def test_axis_aligned_rays_negative_origin():
+    """Zero direction components + negative origins: the old
+    bound*inv_dir + inv_org slab form produced (inf - inf) = NaN and
+    silently missed everything (safe_rcp yields +-FLT_MAX for d == 0)."""
+    verts = np.asarray([[-4, -4, -1], [4, -4, -1], [-4, 4, -1]], np.float32)
+    idx = np.asarray([0, 1, 2, 0], np.int32)
+    bvh = build_bvh(verts, idx)
+    dev = bvh_to_device(bvh)
+    org = np.asarray([[-3.0, -3.0, 1.0], [-2.0, 3.9, 1.0]], np.float32)
+    d = np.asarray([[0.0, 0.0, -1.0]] * 2, np.float32)
+    rays = make_rays(org, d, np.zeros(2, np.float32),
+                     np.full(2, 1e30, np.float32))
+    hit = traverse(dev, rays)
+    np.testing.assert_allclose(np.asarray(hit["t"])[0], 2.0, atol=1e-6)
+    assert np.asarray(hit["prim_id"])[0] == 0
