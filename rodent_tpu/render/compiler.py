@@ -90,6 +90,60 @@ class CompiledScene:
     materials: list                   # material names after cleanup
     mat_params: list = field(default_factory=list)
     num_lights: int = 0
+    tex_files: list = field(default_factory=list)
+
+
+def _build_device(mesh, mat_params, lights, light_ids, bvh, max_path_len,
+                  num_lights, tex_images=None):
+    """Assembles the integrator-facing device dict from host-side pieces.
+    Shared by compile_obj (in-memory path) and load_data_dir (data/ path)
+    so the two routes are bit-identical."""
+    mat_table = {
+        "kind": jnp.asarray([p["kind"] for p in mat_params], jnp.int32),
+        "kd": jnp.asarray([p["kd"] for p in mat_params], jnp.float32),
+        "ks": jnp.asarray([p["ks"] for p in mat_params], jnp.float32),
+        "ns": jnp.asarray([p["ns"] for p in mat_params], jnp.float32),
+        "ni": jnp.asarray([p["ni"] for p in mat_params], jnp.float32),
+        "tf": jnp.asarray([p["tf"] for p in mat_params], jnp.float32),
+        "mix_k": jnp.asarray([p["mix_k"] for p in mat_params], jnp.float32),
+        "emissive": jnp.asarray([p["emissive"] for p in mat_params], bool),
+        "kd_tex": jnp.asarray([p["kd_tex"] for p in mat_params], jnp.int32),
+        "ks_tex": jnp.asarray([p["ks_tex"] for p in mat_params], jnp.int32),
+    }
+
+    # packed geometry rows for single-gather surface elements
+    # (geometry.impala make_tri_mesh_geometry's data, row-fused):
+    # tri row: [i0, i1, i2, mat (i32 bitcast), fn.xyz, light_id]
+    idx4 = mesh.indices.reshape(-1, 4)
+    tri_geo = np.zeros((len(idx4), 8), np.float32)
+    tri_geo[:, 0:4] = idx4.astype(np.int32).view(np.float32)
+    tri_geo[:, 4:7] = mesh.face_normals
+    tri_geo[:, 7] = light_ids.astype(np.int32).view(np.float32)
+    # vertex row: [n.xyz, tu, tv]
+    vtx_geo = np.concatenate(
+        [mesh.normals, mesh.texcoords], axis=1).astype(np.float32)
+
+    device = {
+        "bvh": bvh_to_device(bvh),
+        "tri_geo": jnp.asarray(tri_geo),
+        "vtx_geo": jnp.asarray(vtx_geo),
+        "vertices": jnp.asarray(mesh.vertices),
+        "normals": jnp.asarray(mesh.normals),
+        "face_normals": jnp.asarray(mesh.face_normals),
+        "texcoords": jnp.asarray(mesh.texcoords),
+        "indices": jnp.asarray(mesh.indices.reshape(-1, 4)),
+        "mat_table": mat_table,
+        "lights": {k: jnp.asarray(v) for k, v in lights.items()},
+        "light_ids": jnp.asarray(light_ids),
+        "num_lights": num_lights,
+        "max_path_len": max_path_len,
+    }
+    if tex_images:
+        from . import texture as tx
+        bank, hw = tx.build_bank(tex_images)
+        device["textures"] = jnp.asarray(bank)
+        device["tex_hw"] = jnp.asarray(hw)
+    return device
 
 
 def compile_obj(path, arity=8, max_path_len=64):
@@ -156,54 +210,126 @@ def compile_obj(path, arity=8, max_path_len=64):
 
     bvh = build_bvh(mesh.vertices, mesh.indices, arity=arity)
 
-    mat_table = {
-        "kind": jnp.asarray([p["kind"] for p in mat_params], jnp.int32),
-        "kd": jnp.asarray([p["kd"] for p in mat_params], jnp.float32),
-        "ks": jnp.asarray([p["ks"] for p in mat_params], jnp.float32),
-        "ns": jnp.asarray([p["ns"] for p in mat_params], jnp.float32),
-        "ni": jnp.asarray([p["ni"] for p in mat_params], jnp.float32),
-        "tf": jnp.asarray([p["tf"] for p in mat_params], jnp.float32),
-        "mix_k": jnp.asarray([p["mix_k"] for p in mat_params], jnp.float32),
-        "emissive": jnp.asarray([p["emissive"] for p in mat_params], bool),
-        "kd_tex": jnp.asarray([p["kd_tex"] for p in mat_params], jnp.int32),
-        "ks_tex": jnp.asarray([p["ks_tex"] for p in mat_params], jnp.int32),
-    }
-
-    # packed geometry rows for single-gather surface elements
-    # (geometry.impala make_tri_mesh_geometry's data, row-fused):
-    # tri row: [i0, i1, i2, mat (i32 bitcast), fn.xyz, light_id]
-    idx4 = mesh.indices.reshape(-1, 4)
-    tri_geo = np.zeros((len(idx4), 8), np.float32)
-    tri_geo[:, 0:4] = idx4.astype(np.int32).view(np.float32)
-    tri_geo[:, 4:7] = mesh.face_normals
-    tri_geo[:, 7] = light_ids.astype(np.int32).view(np.float32)
-    # vertex row: [n.xyz, tu, tv]
-    vtx_geo = np.concatenate(
-        [mesh.normals, mesh.texcoords], axis=1).astype(np.float32)
-
-    device = {
-        "bvh": bvh_to_device(bvh),
-        "tri_geo": jnp.asarray(tri_geo),
-        "vtx_geo": jnp.asarray(vtx_geo),
-        "vertices": jnp.asarray(mesh.vertices),
-        "normals": jnp.asarray(mesh.normals),
-        "face_normals": jnp.asarray(mesh.face_normals),
-        "texcoords": jnp.asarray(mesh.texcoords),
-        "indices": jnp.asarray(mesh.indices.reshape(-1, 4)),
-        "mat_table": mat_table,
-        "lights": {k: jnp.asarray(v) for k, v in lights.items()},
-        "light_ids": jnp.asarray(light_ids),
-        "num_lights": num_lights,
-        "max_path_len": max_path_len,
-    }
+    tex_images = None
     if tex_files:
         from . import texture as tx
-        images = [tx.load_texture(os.path.join(base, n)) for n in tex_files]
-        bank, hw = tx.build_bank(images)
-        device["textures"] = jnp.asarray(bank)
-        device["tex_hw"] = jnp.asarray(hw)
+        tex_images = [tx.load_texture(os.path.join(base, n))
+                      for n in tex_files]
+    device = _build_device(mesh, mat_params, lights, light_ids, bvh,
+                           max_path_len, num_lights, tex_images)
     return CompiledScene(device=device, mesh=mesh, materials=new_names,
-                         mat_params=mat_params, num_lights=num_lights)
+                         mat_params=mat_params, num_lights=num_lights,
+                         tex_files=tex_files)
+
+
+def load_data_dir(data_dir):
+    """Reads a converter-written data/ directory back into a CompiledScene.
+
+    Reference behavior: the generated main.impala loads every data/*.bin
+    buffer through device.load_buffer and the BVH through device.load_bvh
+    (converter.cpp:664-680, interface.cpp:432-454); scene.json plays the
+    role of the generated code's baked-in constants. Bit-identical to the
+    compile_obj route (tested in tests/test_tools.py)."""
+    import json
+    import struct
+
+    from ..accel import WideBvh
+    from ..io import formats
+
+    with open(os.path.join(data_dir, "scene.json")) as f:
+        program = json.load(f)
+    pad = program.get("padded_vec3", False)
+    cols = 4 if pad else 3
+
+    def rvec3(name):
+        a = formats.read_lz4_buffer(os.path.join(data_dir, name),
+                                    np.float32)
+        return np.ascontiguousarray(a.reshape(-1, cols)[:, :3])
+
+    vertices = rvec3("vertices.bin")
+    normals = rvec3("normals.bin")
+    face_normals = rvec3("face_normals.bin")
+    texcoords = formats.read_lz4_buffer(
+        os.path.join(data_dir, "texcoords.bin"), np.float32).reshape(-1, 2)
+    indices = formats.read_lz4_buffer(
+        os.path.join(data_dir, "indices.bin"), np.int32)
+    mesh = obj_io.TriMesh(vertices=vertices, normals=normals,
+                          face_normals=face_normals, texcoords=texcoords,
+                          indices=indices)
+
+    light_ids = formats.read_lz4_buffer(
+        os.path.join(data_dir, "light_ids.bin"), np.int32)
+    lv_path = os.path.join(data_dir, "light_verts.bin")
+    if os.path.exists(lv_path):
+        lv = formats.read_lz4_buffer(lv_path, np.float32)
+        lv = lv.reshape(-1, cols)[:, :3].reshape(-1, 3, 3)
+        inv_area = formats.read_lz4_buffer(
+            os.path.join(data_dir, "light_areas.bin"), np.float32)
+        ln = formats.read_lz4_buffer(
+            os.path.join(data_dir, "light_norms.bin"),
+            np.float32).reshape(-1, cols)[:, :3]
+        lc = formats.read_lz4_buffer(
+            os.path.join(data_dir, "light_colors.bin"),
+            np.float32).reshape(-1, cols)[:, :3]
+        lights = {
+            "kind": np.full(len(inv_area), light_mod.TRIANGLE, np.int32),
+            "v0": np.ascontiguousarray(lv[:, 0]),
+            "v1": np.ascontiguousarray(lv[:, 1]),
+            "v2": np.ascontiguousarray(lv[:, 2]),
+            "n": np.ascontiguousarray(ln),
+            "inv_area": inv_area,
+            "color": np.ascontiguousarray(lc),
+        }
+    else:
+        # dummy black point light (converter.cpp:848-850)
+        lights = {
+            "kind": np.zeros(1, np.int32),
+            "v0": np.zeros((1, 3), np.float32),
+            "v1": np.zeros((1, 3), np.float32),
+            "v2": np.zeros((1, 3), np.float32),
+            "n": np.asarray([[0, 0, 1]], np.float32),
+            "inv_area": np.ones(1, np.float32),
+            "color": np.zeros((1, 3), np.float32),
+        }
+
+    # bvh.bin: [u32 node_bytes][u32 tri_bytes][lz4 nodes][lz4 tris]
+    # (converter.cpp:428-438; reader parity: interface.cpp:432-454)
+    with open(os.path.join(data_dir, "bvh.bin"), "rb") as f:
+        node_bytes, tri_bytes = struct.unpack("<II", f.read(8))
+        raw_nodes = formats.read_lz4_buffer(f)
+        raw_tris = formats.read_lz4_buffer(f)
+    arity = {64: 2, 128: 4, 256: 8}[node_bytes]
+    ndt = formats.node_dtype(arity)
+    tdt = formats.TRI1_DTYPE if arity == 2 else formats.TRI4_DTYPE
+    assert ndt.itemsize == node_bytes and tdt.itemsize == tri_bytes
+    btype = {2: formats.BVH2_TRI1, 4: formats.BVH4_TRI4,
+             8: formats.BVH8_TRI4}[arity]
+    block = formats.BvhBlock(btype,
+                             np.frombuffer(raw_nodes.tobytes(), ndt),
+                             np.frombuffer(raw_tris.tobytes(), tdt))
+    bvh = WideBvh.from_block(block)
+
+    mat_params = []
+    names = []
+    for m in program["materials"]:
+        names.append(m["name"])
+        mat_params.append({k: (tuple(v) if isinstance(v, list) else v)
+                           for k, v in m.items() if k != "name"})
+
+    tex_files = program.get("textures", [])
+    tex_images = None
+    if tex_files:
+        from . import texture as tx
+        tex_images = [tx.load_texture(os.path.join(data_dir, "textures", n))
+                      for n in tex_files]
+
+    device = _build_device(mesh, mat_params, lights, light_ids, bvh,
+                           program["max_path_len"], program["num_lights"],
+                           tex_images)
+    return CompiledScene(device=device, mesh=mesh, materials=names,
+                         mat_params=mat_params,
+                         num_lights=program["num_lights"],
+                         tex_files=tex_files)
 
 
 def packet_ok(device, limit_bytes=80 * 1024 * 1024):

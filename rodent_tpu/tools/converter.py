@@ -85,6 +85,18 @@ def write_scene_data(obj_path, out_dir="data", arity=8, spp=4,
         formats.write_lz4_buffer(f, block.nodes)
         formats.write_lz4_buffer(f, block.tris)
 
+    # texture images travel with the data dir (the reference's generated
+    # code loads them by path at runtime, converter.cpp:877-895)
+    if scene.tex_files:
+        import shutil
+        tex_dir = os.path.join(out_dir, "textures")
+        os.makedirs(tex_dir, exist_ok=True)
+        base = os.path.dirname(os.path.abspath(obj_path))
+        for name in scene.tex_files:
+            dst = os.path.join(tex_dir, name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(os.path.join(base, name), dst)
+
     program = {
         "scene": os.path.basename(obj_path),
         "arity": arity,
@@ -93,6 +105,7 @@ def write_scene_data(obj_path, out_dir="data", arity=8, spp=4,
         "padded_vec3": pad,
         "num_tris": int(mesh.num_tris),
         "num_lights": scene.num_lights,
+        "textures": scene.tex_files,
         "materials": [
             {"name": n, **{k: v for k, v in p.items()}}
             for n, p in zip(scene.materials, scene.mat_params)

@@ -111,3 +111,48 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(b1.child, b2.child)
     np.testing.assert_array_equal(b1.bounds, b2.bounds)
     assert len(list((tmp_path / "cache").glob("*.bvh"))) == 1
+
+
+def test_load_data_dir_matches_compile_obj(tmp_path):
+    """converter -> load_data_dir must reproduce compile_obj's device dict
+    bit for bit (the reference's generated-code-loads-data/ contract,
+    converter.cpp:664-680)."""
+    import jax
+    from rodent_tpu.render.compiler import compile_obj, load_data_dir
+    from rodent_tpu.tools.converter import write_scene_data
+
+    data = tmp_path / "data"
+    write_scene_data(f"{REF}/cornell_box.obj", str(data), arity=8,
+                     max_path_len=7)
+    direct = compile_obj(f"{REF}/cornell_box.obj", arity=8, max_path_len=7)
+    loaded = load_data_dir(str(data))
+    assert loaded.num_lights == direct.num_lights
+    assert loaded.materials == direct.materials
+    assert loaded.device["max_path_len"] == 7
+
+    flat_a = jax.tree.leaves(direct.device)
+    flat_b = jax.tree.leaves(loaded.device)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # treedefs match too (same keys, same static BvhMeta)
+    assert (jax.tree.structure(direct.device)
+            == jax.tree.structure(loaded.device))
+
+
+def test_load_data_dir_textured(tmp_path):
+    """Texture images travel with the data dir and reload identically."""
+    import jax
+    from test_textured_render import make_textured_scene
+    from rodent_tpu.render.compiler import compile_obj, load_data_dir
+    from rodent_tpu.tools.converter import write_scene_data
+
+    path = make_textured_scene(tmp_path)
+    data = tmp_path / "data"
+    write_scene_data(path, str(data))
+    direct = compile_obj(path)
+    loaded = load_data_dir(str(data))
+    assert loaded.tex_files == direct.tex_files == ["checker.png"]
+    for a, b in zip(jax.tree.leaves(direct.device),
+                    jax.tree.leaves(loaded.device)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
