@@ -28,7 +28,8 @@ def _half_area(lo, hi):
     return e[..., 0] * (e[..., 1] + e[..., 2]) + e[..., 1] * e[..., 2]
 
 
-def _native_build(vertices, indices, arity, packet, leaf_threshold):
+def _native_build(vertices, indices, arity, packet, leaf_threshold,
+                  quality):
     from .. import native
     if not native.available():
         return None
@@ -41,7 +42,7 @@ def _native_build(vertices, indices, arity, packet, leaf_threshold):
             [indices[:, :3],
              np.zeros((len(indices), 1), np.int32)], axis=1)
     out = native.bvh_build(vertices, idx4, arity=arity, packet=packet,
-                           leaf_threshold=leaf_threshold)
+                           leaf_threshold=leaf_threshold, quality=quality)
     if out is None:
         return None
     bounds, child, tv0, te1, te2, tn, pid, gid = out
@@ -232,19 +233,23 @@ def _collapse_wide(bin_bvh, arity):
 
 
 def build_bvh(vertices, indices, arity=8, packet=4, leaf_threshold=4,
-              use_native=True):
+              use_native=True, quality=1):
     """Builds a WideBvh from a triangle soup.
 
     vertices: (V, 3) f32; indices: flat i32, 4 per tri (v0, v1, v2, mat) —
     the reference's index convention — or (T, 3) with geom_ids implied 0.
     Uses the C++ builder (rodent_tpu/native) when available; the numpy
     implementation below is the portable fallback and the oracle the
-    native one is tested against.
+    native one is tested against. quality=1 (default) builds an SBVH
+    (sweep SAH + spatial splits + unsplitting, the reference
+    SplitBvhBuilder tier, src/driver/bvh.h:102-539); quality=0 is the
+    faster binned-SAH build for huge scenes.
     """
     vertices = np.asarray(vertices, np.float32)
     indices = np.asarray(indices, np.int32)
     if use_native:
-        out = _native_build(vertices, indices, arity, packet, leaf_threshold)
+        out = _native_build(vertices, indices, arity, packet,
+                            leaf_threshold, quality)
         if out is not None:
             return out
     if indices.ndim == 1:

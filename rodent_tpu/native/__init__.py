@@ -50,7 +50,8 @@ def _load():
     lib.rt_bvh_build.restype = ctypes.c_void_p
     lib.rt_bvh_build.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
     lib.rt_bvh_num_nodes.restype = ctypes.c_int64
     lib.rt_bvh_num_nodes.argtypes = [ctypes.c_void_p]
     lib.rt_bvh_num_packets.restype = ctypes.c_int64
@@ -96,9 +97,12 @@ def lz4_decompress(data: bytes, uncompressed_size: int) -> bytes:
     return out.raw
 
 
-def bvh_build(vertices, indices4, arity=8, packet=4, leaf_threshold=4):
-    """Native binned-SAH build. Returns the same arrays as the Python
-    builder (see accel.layout.WideBvh) or None if the library is absent."""
+def bvh_build(vertices, indices4, arity=8, packet=4, leaf_threshold=4,
+              quality=1):
+    """Native BVH build: quality=1 -> SBVH (sweep SAH + spatial splits +
+    unsplitting, the reference SplitBvhBuilder tier); quality=0 -> fast
+    binned SAH. Returns the same arrays as the Python builder (see
+    accel.layout.WideBvh) or None if the library is absent."""
     lib = _load()
     if lib is None:
         return None
@@ -108,7 +112,7 @@ def bvh_build(vertices, indices4, arity=8, packet=4, leaf_threshold=4):
     h = lib.rt_bvh_build(
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         idx4.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        num_tris, arity, packet, leaf_threshold)
+        num_tris, arity, packet, leaf_threshold, quality)
     try:
         nn = lib.rt_bvh_num_nodes(h)
         npk = lib.rt_bvh_num_packets(h)

@@ -1,16 +1,21 @@
-// Native BVH builder: binned-SAH top-down build + N-wide collapse.
+// Native BVH builder, two quality tiers:
+//   quality=1 (default): SBVH — sweep-SAH object splits, 96-bin spatial
+//     splits with a refinement pass, and reference unsplitting, collapsed
+//     directly into N-wide nodes (the algorithm class of the reference's
+//     SplitBvhBuilder, src/driver/bvh.h:102-539, after Stich et al. 2009).
+//   quality=0: binned-SAH binary build + largest-first wide collapse
+//     (fast path for huge scenes / build-time-sensitive callers).
 //
-// Plays the role of the reference's SplitBvhBuilder + BvhNTriMAdapter
-// (src/driver/bvh.h, src/driver/converter.cpp:97-260), emitting the same
-// node/packet encoding consumed by the traversal kernels:
+// Both emit the node/packet encoding consumed by the traversal kernels:
 //   bounds[6][N] per node (xmin,xmax,ymin,ymax,zmin,zmax), empty slot =
 //   (+inf,-inf); child > 0 inner (index+1), < 0 leaf (~packet index);
 //   Tri packets with e1 = v0-v1, e2 = v2-v0, n = cross(e1,e2);
 //   prim_id -1 invalid lane, sign bit on the last lane of the final
-//   packet of each leaf (converter.cpp:252-258).
+//   packet of each leaf (converter.cpp:252-258). Spatial splits may
+//   duplicate triangle references (same prim_id in several leaves).
 //
 // The SAH cost model matches converter.cpp CostFn (leaf = count*area,
-// traversal = area); spatial splits (SBVH) are a planned extension.
+// traversal = area).
 
 #include <algorithm>
 #include <cmath>
@@ -41,6 +46,10 @@ struct BBox {
         lo = vmin(lo, o.lo);
         hi = vmax(hi, o.hi);
     }
+    void clip(const BBox& o) {
+        lo = vmax(lo, o.lo);
+        hi = vmin(hi, o.hi);
+    }
     float half_area() const {
         float ex = std::max(hi.x - lo.x, 0.0f);
         float ey = std::max(hi.y - lo.y, 0.0f);
@@ -56,6 +65,13 @@ struct BinaryNode {
     bool is_leaf() const { return count >= 0; }
 };
 
+// A (possibly clipped) triangle reference: spatial splits give the same
+// prim its own tighter box in each child.
+struct SRef {
+    int32_t id;
+    BBox bb;
+};
+
 struct Builder {
     int arity, packet, leaf_threshold;
     int64_t num_tris;
@@ -65,6 +81,7 @@ struct Builder {
     std::vector<Vec3> center;
     std::vector<int64_t> order;
     std::vector<BinaryNode> bnodes;
+    float spatial_threshold = 0.0f;
 
     // outputs
     std::vector<float> out_bounds;  // num_nodes * 6 * arity
@@ -75,6 +92,12 @@ struct Builder {
     int build_binary();
     void collapse_and_emit(int root);
     int64_t emit_leaf(int64_t start, int64_t count);
+
+    // SBVH path
+    void build_sbvh();
+    int32_t build_wide(std::vector<SRef>&& refs, const BBox& bb);
+    int64_t emit_leaf_refs(const std::vector<SRef>& refs);
+    int64_t alloc_node();
 };
 
 constexpr int NUM_BINS = 16;
@@ -205,6 +228,22 @@ int Builder::build_binary() {
     return 0;
 }
 
+int64_t Builder::alloc_node() {
+    int64_t idx = int64_t(out_child.size()) / arity;
+    out_bounds.resize(out_bounds.size() + size_t(6 * arity));
+    out_child.resize(out_child.size() + size_t(arity), 0);
+    float* bb = &out_bounds[size_t(idx) * 6 * arity];
+    for (int s = 0; s < arity; ++s) {
+        bb[0 * arity + s] = INF;
+        bb[1 * arity + s] = -INF;
+        bb[2 * arity + s] = INF;
+        bb[3 * arity + s] = -INF;
+        bb[4 * arity + s] = INF;
+        bb[5 * arity + s] = -INF;
+    }
+    return idx;
+}
+
 int64_t Builder::emit_leaf(int64_t start, int64_t count) {
     int64_t first = int64_t(t_pid.size()) / packet;
     for (int64_t i = 0; i < count; i += packet) {
@@ -266,22 +305,6 @@ void Builder::collapse_and_emit(int root) {
         }
     };
 
-    auto alloc_node = [&]() {
-        int64_t idx = int64_t(out_child.size()) / arity;
-        out_bounds.resize(out_bounds.size() + size_t(6 * arity));
-        out_child.resize(out_child.size() + size_t(arity), 0);
-        float* bb = &out_bounds[size_t(idx) * 6 * arity];
-        for (int s = 0; s < arity; ++s) {
-            bb[0 * arity + s] = INF;
-            bb[1 * arity + s] = -INF;
-            bb[2 * arity + s] = INF;
-            bb[3 * arity + s] = -INF;
-            bb[4 * arity + s] = INF;
-            bb[5 * arity + s] = -INF;
-        }
-        return idx;
-    };
-
     std::vector<int32_t> group;
     auto emit_wide = [&](int32_t b) {
         int64_t widx = alloc_node();
@@ -329,13 +352,446 @@ void Builder::collapse_and_emit(int root) {
     }
 }
 
+// ---------------------------------------------------------------------
+// SBVH (quality=1): sweep-SAH object splits + binned spatial splits with
+// unsplitting (Stich et al. 2009; reference: src/driver/bvh.h:102-539),
+// collapsed directly into N-wide nodes.
+// ---------------------------------------------------------------------
+
+constexpr int SPATIAL_BINS = 96;
+constexpr int BINNING_PASSES = 2;
+constexpr float SBVH_ALPHA = 1e-5f;  // spatial-split trigger (bvh.h alpha)
+
+inline float leaf_sah(size_t count, float area) { return count * area; }
+
+// Half-area of the intersection, <= 0 when disjoint (trigger test only).
+inline float overlap_half_area(const BBox& a, const BBox& b) {
+    float ex = std::min(a.hi.x, b.hi.x) - std::max(a.lo.x, b.lo.x);
+    float ey = std::min(a.hi.y, b.hi.y) - std::max(a.lo.y, b.lo.y);
+    float ez = std::min(a.hi.z, b.hi.z) - std::max(a.lo.z, b.lo.z);
+    if (ex <= 0.0f || ey <= 0.0f || ez <= 0.0f) return 0.0f;
+    return ex * (ey + ez) + ey * ez;
+}
+
+inline float axis_of(const Vec3& v, int a) {
+    return a == 0 ? v.x : a == 1 ? v.y : v.z;
+}
+
+// Clips a triangle against the plane (axis == pos) and returns the bounds
+// of the two polygon halves (the tri.h compute_split role, own impl:
+// walk the edges, add each endpoint to its side, crossings to both).
+inline void split_tri_bounds(const Vec3& a, const Vec3& b, const Vec3& c,
+                             int axis, float pos, BBox& lb, BBox& rb) {
+    lb = BBox();
+    rb = BBox();
+    const Vec3 vs[3] = {a, b, c};
+    for (int i = 0; i < 3; ++i) {
+        const Vec3& p = vs[i];
+        const Vec3& q = vs[(i + 1) % 3];
+        float pa = axis_of(p, axis), qa = axis_of(q, axis);
+        if (pa <= pos) { lb.lo = vmin(lb.lo, p); lb.hi = vmax(lb.hi, p); }
+        if (pa >= pos) { rb.lo = vmin(rb.lo, p); rb.hi = vmax(rb.hi, p); }
+        if ((pa < pos) != (qa < pos) && pa != qa) {
+            float t = (pos - pa) / (qa - pa);
+            Vec3 x{p.x + t * (q.x - p.x), p.y + t * (q.y - p.y),
+                   p.z + t * (q.z - p.z)};
+            if (axis == 0) x.x = pos;
+            else if (axis == 1) x.y = pos;
+            else x.z = pos;
+            lb.lo = vmin(lb.lo, x); lb.hi = vmax(lb.hi, x);
+            rb.lo = vmin(rb.lo, x); rb.hi = vmax(rb.hi, x);
+        }
+    }
+}
+
+struct ObjSplit {
+    float cost = INF;
+    int axis = -1;
+    size_t left_count = 0;
+    BBox lb, rb;
+};
+
+struct SpatSplit {
+    float cost = INF;
+    int axis = -1;
+    float pos = 0.0f;
+};
+
+// Sweep-SAH over all three axes (bvh.h find_object_split role). Sorts
+// refs in place per axis; on return refs are sorted by the LAST axis
+// swept (2) — apply re-sorts by the winning axis if needed.
+void find_object_split(ObjSplit& os, std::vector<SRef>& refs,
+                       std::vector<float>& rarea) {
+    const size_t n = refs.size();
+    rarea.resize(n);
+    for (int axis = 0; axis < 3; ++axis) {
+        std::sort(refs.begin(), refs.end(), [axis](const SRef& x,
+                                                   const SRef& y) {
+            float cx = axis_of(x.bb.lo, axis) + axis_of(x.bb.hi, axis);
+            float cy = axis_of(y.bb.lo, axis) + axis_of(y.bb.hi, axis);
+            return cx < cy || (cx == cy && x.id < y.id);
+        });
+        BBox acc;
+        for (size_t i = n - 1; i > 0; --i) {
+            acc.extend(refs[i].bb);
+            rarea[i - 1] = acc.half_area();
+        }
+        BBox racc = acc;  // full right box at i=0 kept for the winner
+        BBox lacc;
+        BBox best_lb, best_rb;
+        bool improved = false;
+        size_t best_lc = 0;
+        for (size_t i = 0; i + 1 < n; ++i) {
+            lacc.extend(refs[i].bb);
+            float cost = leaf_sah(i + 1, lacc.half_area())
+                         + leaf_sah(n - i - 1, rarea[i]);
+            if (cost < os.cost) {
+                os.cost = cost;
+                os.axis = axis;
+                os.left_count = i + 1;
+                os.lb = lacc;
+                improved = true;
+                best_lc = i + 1;
+                best_lb = lacc;
+            }
+        }
+        if (improved) {
+            // rebuild the winning right box exactly
+            BBox rb;
+            for (size_t i = best_lc; i < n; ++i) rb.extend(refs[i].bb);
+            os.lb = best_lb;
+            os.rb = rb;
+        }
+        (void)racc;
+    }
+}
+
+// One binning pass over [axis_min, axis_max] (bvh.h spatial_binning
+// role). Returns the winning boundary index or -1.
+int spatial_binning(SpatSplit& ss, const Builder& bld,
+                    const std::vector<SRef>& refs, int axis,
+                    float axis_min, float axis_max) {
+    BBox bin_bb[SPATIAL_BINS];
+    int64_t entry[SPATIAL_BINS] = {};
+    int64_t exit_[SPATIAL_BINS] = {};
+    const float width = (axis_max - axis_min) / SPATIAL_BINS;
+    if (!(width > 0.0f)) return -1;
+    const float inv = 1.0f / width;
+
+    auto bin_of = [&](float v) {
+        int b = int((v - axis_min) * inv);
+        return std::min(std::max(b, 0), SPATIAL_BINS - 1);
+    };
+    for (const SRef& r : refs) {
+        int b0 = bin_of(axis_of(r.bb.lo, axis));
+        int b1 = bin_of(axis_of(r.bb.hi, axis));
+        if (b0 == b1) {
+            bin_bb[b0].extend(r.bb);
+        } else {
+            // chop the triangle across the spanned bins so each bin gets
+            // the clipped geometry's bounds, not the whole ref box
+            BBox cur = r.bb;
+            const Vec3& a = bld.v0[r.id];
+            const Vec3& b = bld.v1[r.id];
+            const Vec3& c = bld.v2[r.id];
+            for (int j = b0; j < b1; ++j) {
+                float pos = j + 1 < SPATIAL_BINS
+                                ? axis_min + (j + 1) * width : axis_max;
+                BBox lb, rb;
+                split_tri_bounds(a, b, c, axis, pos, lb, rb);
+                lb.clip(cur);
+                bin_bb[j].extend(lb);
+                rb.clip(cur);
+                cur = rb;
+            }
+            bin_bb[b1].extend(cur);
+        }
+        entry[b0]++;
+        exit_[b1]++;
+    }
+
+    float rarea[SPATIAL_BINS];
+    BBox acc;
+    for (int i = SPATIAL_BINS - 1; i > 0; --i) {
+        acc.extend(bin_bb[i]);
+        rarea[i - 1] = acc.half_area();
+    }
+    BBox lacc;
+    int64_t lc = 0, rc = int64_t(refs.size());
+    int best = -1;
+    for (int i = 0; i + 1 < SPATIAL_BINS; ++i) {
+        lacc.extend(bin_bb[i]);
+        lc += entry[i];
+        rc -= exit_[i];
+        if (lc == 0 || rc == 0) continue;
+        if (size_t(lc) == refs.size() || size_t(rc) == refs.size())
+            continue;
+        float cost = leaf_sah(lc, lacc.half_area()) + leaf_sah(rc, rarea[i]);
+        if (cost < ss.cost) {
+            ss.cost = cost;
+            ss.axis = axis;
+            ss.pos = axis_min + (i + 1) * width;
+            best = i;
+        }
+    }
+    return best;
+}
+
+void find_spatial_split(SpatSplit& ss, const Builder& bld,
+                        const std::vector<SRef>& refs, int axis,
+                        const BBox& parent) {
+    float axis_min = axis_of(parent.lo, axis);
+    float axis_max = axis_of(parent.hi, axis);
+    if (!(axis_max > axis_min)) return;
+    for (int pass = 0; pass < BINNING_PASSES; ++pass) {
+        int idx = spatial_binning(ss, bld, refs, axis, axis_min, axis_max);
+        if (idx < 0) break;
+        // refine: re-bin the neighborhood of the winning plane
+        float width = (axis_max - axis_min) / SPATIAL_BINS;
+        axis_min = ss.pos - width;
+        axis_max = ss.pos + width;
+    }
+}
+
+// Spatial-split application with unsplitting (bvh.h apply_spatial_split
+// role): straddling refs are either clipped into both children or
+// "unsplit" wholly into one side when that is cheaper.
+void apply_spatial_split(const SpatSplit& ss, const Builder& bld,
+                         std::vector<SRef>& refs,
+                         std::vector<SRef>& left, BBox& lb,
+                         std::vector<SRef>& right, BBox& rb) {
+    left.clear();
+    right.clear();
+    lb = BBox();
+    rb = BBox();
+    std::vector<SRef> straddle;
+    for (const SRef& r : refs) {
+        if (axis_of(r.bb.hi, ss.axis) <= ss.pos) {
+            lb.extend(r.bb);
+            left.push_back(r);
+        } else if (axis_of(r.bb.lo, ss.axis) >= ss.pos) {
+            rb.extend(r.bb);
+            right.push_back(r);
+        } else {
+            straddle.push_back(r);
+        }
+    }
+    for (const SRef& r : straddle) {
+        BBox lsb, rsb;
+        split_tri_bounds(bld.v0[r.id], bld.v1[r.id], bld.v2[r.id],
+                         ss.axis, ss.pos, lsb, rsb);
+        lsb.clip(r.bb);
+        rsb.clip(r.bb);
+        BBox lu = lb, ru = rb, ld = lb, rd = rb;
+        lu.extend(r.bb);
+        ru.extend(r.bb);
+        ld.extend(lsb);
+        rd.extend(rsb);
+        const size_t nl = left.size(), nr = right.size();
+        float unsplit_l = leaf_sah(nl + 1, lu.half_area())
+                          + leaf_sah(nr, rb.half_area());
+        float unsplit_r = leaf_sah(nl, lb.half_area())
+                          + leaf_sah(nr + 1, ru.half_area());
+        float dup = leaf_sah(nl + 1, ld.half_area())
+                    + leaf_sah(nr + 1, rd.half_area());
+        float mn = std::min(dup, std::min(unsplit_l, unsplit_r));
+        if (mn == unsplit_l) {
+            lb = lu;
+            left.push_back(r);
+        } else if (mn == unsplit_r) {
+            rb = ru;
+            right.push_back(r);
+        } else {
+            lb = ld;
+            rb = rd;
+            left.push_back({r.id, lsb});
+            right.push_back({r.id, rsb});
+        }
+    }
+}
+
+int64_t Builder::emit_leaf_refs(const std::vector<SRef>& refs) {
+    int64_t first = int64_t(t_pid.size()) / packet;
+    int64_t count = int64_t(refs.size());
+    for (int64_t i = 0; i < count; i += packet) {
+        int64_t c = std::min<int64_t>(packet, count - i);
+        for (int64_t j = 0; j < packet; ++j) {
+            if (j < c) {
+                int64_t id = refs[i + j].id;
+                Vec3 a = v0[id], b = v1[id], cc = v2[id];
+                Vec3 e1{a.x - b.x, a.y - b.y, a.z - b.z};
+                Vec3 e2{cc.x - a.x, cc.y - a.y, cc.z - a.z};
+                Vec3 nn{e1.y * e2.z - e1.z * e2.y,
+                        e1.z * e2.x - e1.x * e2.z,
+                        e1.x * e2.y - e1.y * e2.x};
+                t_v0.insert(t_v0.end(), {a.x, a.y, a.z});
+                t_e1.insert(t_e1.end(), {e1.x, e1.y, e1.z});
+                t_e2.insert(t_e2.end(), {e2.x, e2.y, e2.z});
+                t_n.insert(t_n.end(), {nn.x, nn.y, nn.z});
+                t_pid.push_back(int32_t(id));
+                t_gid.push_back(gid[id]);
+            } else {
+                t_v0.insert(t_v0.end(), {0, 0, 0});
+                t_e1.insert(t_e1.end(), {0, 0, 0});
+                t_e2.insert(t_e2.end(), {0, 0, 0});
+                t_n.insert(t_n.end(), {0, 0, 0});
+                t_pid.push_back(-1);
+                t_gid.push_back(0);
+            }
+        }
+    }
+    t_pid.back() = int32_t(uint32_t(t_pid.back()) | 0x80000000u);
+    return first;
+}
+
+// Builds one wide node from a reference set: greedily split the highest-
+// SAH-cost candidate (object or spatial, whichever is cheaper) until the
+// node is full or no split is beneficial, then recurse into non-leaf
+// children. Returns a child ref (>0 inner, <0 leaf) for the parent slot.
+int32_t Builder::build_wide(std::vector<SRef>&& refs0, const BBox& bb0) {
+    struct Cand {
+        std::vector<SRef> refs;
+        BBox bb;
+        bool done = false;
+    };
+    std::vector<Cand> cands;
+    cands.push_back({std::move(refs0), bb0, false});
+    std::vector<float> rarea;
+
+    while (int(cands.size()) < arity) {
+        int pick = -1;
+        float pick_cost = -INF;
+        for (size_t i = 0; i < cands.size(); ++i) {
+            if (cands[i].done) continue;
+            if (int64_t(cands[i].refs.size()) <= leaf_threshold) {
+                cands[i].done = true;
+                continue;
+            }
+            float cost = leaf_sah(cands[i].refs.size(),
+                                  cands[i].bb.half_area());
+            if (cost > pick_cost) {
+                pick_cost = cost;
+                pick = int(i);
+            }
+        }
+        if (pick < 0) break;
+        Cand& c = cands[pick];
+
+        ObjSplit os;
+        find_object_split(os, c.refs, rarea);
+        SpatSplit ss;
+        if (os.axis >= 0
+            && overlap_half_area(os.lb, os.rb) > spatial_threshold) {
+            for (int axis = 0; axis < 3; ++axis)
+                find_spatial_split(ss, *this, c.refs, axis, c.bb);
+        }
+
+        float split_cost = std::min(os.cost, ss.cost);
+        float parent_area = c.bb.half_area();
+        if (split_cost + parent_area
+                >= leaf_sah(c.refs.size(), parent_area)) {
+            c.done = true;
+            continue;
+        }
+
+        Cand l, r;
+        if (ss.cost < os.cost) {
+            apply_spatial_split(ss, *this, c.refs, l.refs, l.bb, r.refs,
+                                r.bb);
+        } else {
+            if (os.axis != 2) {
+                int axis = os.axis;
+                std::sort(c.refs.begin(), c.refs.end(),
+                          [axis](const SRef& x, const SRef& y) {
+                    float cx = axis_of(x.bb.lo, axis)
+                               + axis_of(x.bb.hi, axis);
+                    float cy = axis_of(y.bb.lo, axis)
+                               + axis_of(y.bb.hi, axis);
+                    return cx < cy || (cx == cy && x.id < y.id);
+                });
+            }
+            l.refs.assign(c.refs.begin(), c.refs.begin() + os.left_count);
+            r.refs.assign(c.refs.begin() + os.left_count, c.refs.end());
+            l.bb = os.lb;
+            r.bb = os.rb;
+        }
+        if (l.refs.empty() || r.refs.empty()) {
+            // degenerate split (all boxes identical): halve by order
+            size_t mid = c.refs.size() / 2;
+            l.refs.assign(c.refs.begin(), c.refs.begin() + mid);
+            r.refs.assign(c.refs.begin() + mid, c.refs.end());
+            l.bb = BBox();
+            for (const SRef& s : l.refs) l.bb.extend(s.bb);
+            r.bb = BBox();
+            for (const SRef& s : r.refs) r.bb.extend(s.bb);
+        }
+        cands[pick] = std::move(l);
+        cands.push_back(std::move(r));
+    }
+
+    if (cands.size() == 1)
+        return int32_t(~emit_leaf_refs(cands[0].refs));
+
+    // largest child first (bvh.h MultiNode::sort_nodes)
+    std::sort(cands.begin(), cands.end(), [](const Cand& a, const Cand& b) {
+        return a.refs.size() > b.refs.size();
+    });
+
+    int64_t widx = alloc_node();
+    for (size_t s = 0; s < cands.size(); ++s) {
+        float* bb = &out_bounds[size_t(widx) * 6 * arity];
+        const BBox& m = cands[s].bb;
+        bb[0 * arity + s] = m.lo.x;
+        bb[1 * arity + s] = m.hi.x;
+        bb[2 * arity + s] = m.lo.y;
+        bb[3 * arity + s] = m.hi.y;
+        bb[4 * arity + s] = m.lo.z;
+        bb[5 * arity + s] = m.hi.z;
+    }
+    for (size_t s = 0; s < cands.size(); ++s) {
+        int32_t ref;
+        if (cands[s].done
+            || int64_t(cands[s].refs.size()) <= leaf_threshold) {
+            ref = int32_t(~emit_leaf_refs(cands[s].refs));
+        } else {
+            ref = build_wide(std::move(cands[s].refs), cands[s].bb);
+        }
+        out_child[size_t(widx) * arity + s] = ref;
+    }
+    return int32_t(widx + 1);
+}
+
+void Builder::build_sbvh() {
+    std::vector<SRef> refs(num_tris);
+    BBox root;
+    for (int64_t i = 0; i < num_tris; ++i) {
+        refs[i] = {int32_t(i), tri_box[i]};
+        root.extend(tri_box[i]);
+    }
+    spatial_threshold = root.half_area() * SBVH_ALPHA;
+    int32_t r = build_wide(std::move(refs), root);
+    if (r < 0) {
+        // single-leaf scene: wrap in one wide node (traversal roots at
+        // node 0)
+        int64_t widx = alloc_node();
+        float* bb = &out_bounds[size_t(widx) * 6 * arity];
+        bb[0 * arity] = root.lo.x;
+        bb[1 * arity] = root.hi.x;
+        bb[2 * arity] = root.lo.y;
+        bb[3 * arity] = root.hi.y;
+        bb[4 * arity] = root.lo.z;
+        bb[5 * arity] = root.hi.z;
+        out_child[size_t(widx) * arity] = r;
+    }
+}
+
 } // namespace
 
 extern "C" {
 
 void* rt_bvh_build(const float* verts, const int32_t* idx4,
                    int64_t num_tris, int arity, int packet,
-                   int leaf_threshold) {
+                   int leaf_threshold, int quality) {
     auto* b = new Builder();
     b->arity = arity;
     b->packet = packet;
@@ -364,8 +820,12 @@ void* rt_bvh_build(const float* verts, const int32_t* idx4,
                         (box.lo.y + box.hi.y) * 0.5f,
                         (box.lo.z + box.hi.z) * 0.5f};
     }
-    b->build_binary();
-    b->collapse_and_emit(0);
+    if (quality >= 1) {
+        b->build_sbvh();
+    } else {
+        b->build_binary();
+        b->collapse_and_emit(0);
+    }
     return b;
 }
 
