@@ -34,19 +34,55 @@ import numpy as np
 from .tiled import _SORT_NETWORKS
 
 TILE_ROWS = 64           # rays per tile = TILE_ROWS * 128
-# measured on the hall-260K primary workload (1M rays, v5e):
-# tile_rows 8: 5.2 | 16: 9.4 | 32: 15.1 | 64: 19.9 | 128: 19.4 |
-# 256: 14.8 Mrays/s — bigger tiles amortize the scalar pop loop until
-# union-divergence (wasted lane work) takes over
+# measured on the hall-260K primary workload (1M sorted rays, v5e, Tri8
+# leaf packets + SBVH lt=12): tile_rows 48: 36.4 | 64: 36.8 | 96: 32.2 |
+# 128: 28.2 | 192: 21.3 Mrays/s — bigger tiles amortize the per-pop
+# serial floor until union-divergence (wasted lane work) takes over.
+# Round-2 kernel history on this workload: 24.5 (round-1 kernel, SBVH
+# tree) -> 30.0 (Tri8 leaf packets, leaf_threshold 12) -> 36.2 (one
+# shared cross-lane key reduction instead of 8 per-child full reduces)
+# -> 36.8 (octant-pure tile specialization). Rejected by measurement:
+# pops>1 per iteration (out-of-order expansion inflates work), direct
+# scalar VMEM reads (no effect)
 STACK = 64
+POPS = 1        # stack entries retired per loop iteration (see _kernel)
+SCALAR_READS = False  # direct scalar VMEM loads (1 row/line) vs row loads
 _F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
 
 
 def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
-            stack_ref, arity, m, any_hit, stack_size):
+            stack_ref, arity, m, any_hit, stack_size,
+            node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    def load_row(ref, idx, rpl):
+        """Returns (f32_reader, i32_reader) closures for lane j of row
+        idx. scalar_reads=True (requires 1 row/line) issues direct scalar
+        VMEM loads — avoiding the vector-load + per-lane extract, which
+        costs a vector->scalar transfer per field; otherwise loads the
+        whole line once (rpl rows/line; dynamic lane offsets cannot
+        lower, dynamic rotate can)."""
+        if scalar_reads and rpl == 1:
+            def rd(j):
+                return ref[idx, j]
+
+            def rdi(j):
+                # Mosaic has no scalar bitcast: reinterpret via a (1, 1)
+                # slice bitcast
+                v = jax.lax.bitcast_convert_type(ref[pl.ds(idx, 1),
+                                                     pl.ds(j, 1)],
+                                                 jnp.int32)
+                return v[0, 0]
+            return rd, rdi
+        if rpl == 1:
+            row = ref[pl.ds(idx, 1), :]
+        else:
+            row = ref[pl.ds(idx // 2, 1), :]
+            row = pltpu.roll(row, -(idx % 2) * 64, axis=1)
+        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+        return (lambda j: row[0, j]), (lambda j: row_i[0, j])
 
     inv_d = [rays_ref[i] for i in range(3)]        # (TR, 128) each
     org = [rays_ref[3 + i] for i in range(3)]
@@ -56,39 +92,70 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 
     stack_ref[0] = jnp.int32(1)  # root (1-based node ref)
 
-    def node_step(code, t_cur, sptr):
+    # per-tile octant purity: after the Morton+octant sort almost every
+    # tile shares direction signs on every axis, so the near/far bound of
+    # each slab is a per-tile SCALAR select instead of per-ray vector
+    # min/max (the reference's ordered_bbox trick, intersection.impala
+    # :194-202, lifted to tile granularity)
+    pos = [jnp.min((inv_d[k] >= 0.0).astype(jnp.int32)) == 1
+           for k in range(3)]
+    neg = [jnp.min((inv_d[k] < 0.0).astype(jnp.int32)) == 1
+           for k in range(3)]
+    tile_pure = (pos[0] | neg[0]) & (pos[1] | neg[1]) & (pos[2] | neg[2])
+
+    def node_step(code, t_cur, pure):
         # rows are packed two-per-128-lane line (VMEM pads the last dim
         # to 128 lanes, so 56-wide rows would waste 2.3x VMEM)
-        idx = code - 1
-        row = nodes_ref[pl.ds(idx // 2, 1), :]     # (1, 128)
-        # bring the selected 64-lane half to lane 0 (dynamic lane offsets
-        # cannot lower; dynamic rotate can)
-        row = pltpu.roll(row, -(idx % 2) * 64, axis=1)
-        # Mosaic has no scalar bitcast; bitcast the row vector once
-        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
-        keys = []
+        rd, rdi = load_row(nodes_ref, code - 1, node_rpl)
+        parts = []
         childs = []
         for c in range(arity):
             # (bound - org) * inv_dir: NaN-free for axis-aligned rays
             # (see api._node_test)
-            tx0 = (row[0, 0 * arity + c] - org[0]) * inv_d[0]
-            tx1 = (row[0, 1 * arity + c] - org[0]) * inv_d[0]
-            ty0 = (row[0, 2 * arity + c] - org[1]) * inv_d[1]
-            ty1 = (row[0, 3 * arity + c] - org[1]) * inv_d[1]
-            tz0 = (row[0, 4 * arity + c] - org[2]) * inv_d[2]
-            tz1 = (row[0, 5 * arity + c] - org[2]) * inv_d[2]
-            ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                          jnp.minimum(ty0, ty1)),
-                              jnp.maximum(jnp.minimum(tz0, tz1), tmin))
-            ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                          jnp.maximum(ty0, ty1)),
-                              jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
-            ch = row_i[0, 6 * arity + c]
-            # tile-min entry distance; +inf when no ray hits this child
-            key = jnp.min(jnp.where(ent <= ext, ent, _F32_MAX))
-            valid = (ch != 0) & (key < _F32_MAX)
+            if pure:
+                bs = [jnp.where(pos[k], rd((2 * k) * arity + c),
+                                rd((2 * k + 1) * arity + c))
+                      for k in range(3)]
+                bf = [jnp.where(pos[k], rd((2 * k + 1) * arity + c),
+                                rd((2 * k) * arity + c))
+                      for k in range(3)]
+                tnx = (bs[0] - org[0]) * inv_d[0]
+                tny = (bs[1] - org[1]) * inv_d[1]
+                tnz = (bs[2] - org[2]) * inv_d[2]
+                tfx = (bf[0] - org[0]) * inv_d[0]
+                tfy = (bf[1] - org[1]) * inv_d[1]
+                tfz = (bf[2] - org[2]) * inv_d[2]
+                ent = jnp.maximum(jnp.maximum(tnx, tny),
+                                  jnp.maximum(tnz, tmin))
+                ext = jnp.minimum(jnp.minimum(tfx, tfy),
+                                  jnp.minimum(tfz, t_cur))
+            else:
+                tx0 = (rd(0 * arity + c) - org[0]) * inv_d[0]
+                tx1 = (rd(1 * arity + c) - org[0]) * inv_d[0]
+                ty0 = (rd(2 * arity + c) - org[1]) * inv_d[1]
+                ty1 = (rd(3 * arity + c) - org[1]) * inv_d[1]
+                tz0 = (rd(4 * arity + c) - org[2]) * inv_d[2]
+                tz1 = (rd(5 * arity + c) - org[2]) * inv_d[2]
+                ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                              jnp.minimum(ty0, ty1)),
+                                  jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+                ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                              jnp.maximum(ty0, ty1)),
+                                  jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
+            # sublane-only partial reduce (cheap); the expensive cross-lane
+            # phase is shared across all children below
+            parts.append(jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
+                                 axis=0, keepdims=True))
+            childs.append(rdi(6 * arity + c))
+        # one cross-lane reduction for all `arity` children: (A, 128) ->
+        # (A,) tile-min entry distances (+inf when no ray hits the child)
+        keys8 = jnp.min(jnp.concatenate(parts, axis=0), axis=1)
+        keys = []
+        for c in range(arity):
+            key = keys8[c]
+            valid = (childs[c] != 0) & (key < _F32_MAX)
             keys.append(jnp.where(valid, key, _F32_MAX))
-            childs.append(jnp.where(valid, ch, 0))
+            childs[c] = jnp.where(valid, childs[c], 0)
 
         if not any_hit:
             for i, j in _SORT_NETWORKS[arity]:
@@ -98,31 +165,21 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                 childs[i], childs[j] = (
                     jnp.where(swap, childs[j], childs[i]),
                     jnp.where(swap, childs[i], childs[j]))
-        # push far-to-near so the nearest child pops first; skip empties
-        # (slot stack_size-1 is a write-back trash slot for masked pushes;
-        # stack_size is sized past the tree's worst case in _call_kernel,
-        # so live entries never reach it)
-        for r in range(arity - 1, -1, -1):
-            ok = childs[r] != 0
-            stack_ref[jnp.where(ok, sptr, stack_size - 1)] = jnp.where(
-                ok, childs[r], stack_ref[stack_size - 1])
-            sptr = sptr + jnp.where(ok, 1, 0)
-        return t_cur, sptr
+        # near-sorted child list; pushes happen in body() after all popped
+        # entries are processed so the per-entry reductions overlap
+        return childs
 
-    def leaf_step(code, carry, sptr):
+    def leaf_step(code, carry):
         t_cur, u_b, v_b, p_b, g_b = carry
-        pidx = ~code
-        row = tris_ref[pl.ds(pidx // 2, 1), :]     # (1, 128)
-        row = pltpu.roll(row, -(pidx % 2) * 64, axis=1)
-        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+        rd, rdi = load_row(tris_ref, ~code, tri_rpl)
         is_last = jnp.int32(0)
         for lane in range(m):
-            v0 = [row[0, k * m + lane] for k in range(3)]
-            e1 = [row[0, (3 + k) * m + lane] for k in range(3)]
-            e2 = [row[0, (6 + k) * m + lane] for k in range(3)]
-            nn = [row[0, (9 + k) * m + lane] for k in range(3)]
-            pid = row_i[0, 12 * m + lane]
-            gid = row_i[0, 13 * m + lane]
+            v0 = [rd(k * m + lane) for k in range(3)]
+            e1 = [rd((3 + k) * m + lane) for k in range(3)]
+            e2 = [rd((6 + k) * m + lane) for k in range(3)]
+            nn = [rd((9 + k) * m + lane) for k in range(3)]
+            pid = rdi(12 * m + lane)
+            gid = rdi(13 * m + lane)
             cx, cy, cz = v0[0] - org[0], v0[1] - org[1], v0[2] - org[2]
             rx = dirv[1] * cz - dirv[2] * cy
             ry = dirv[2] * cx - dirv[0] * cz
@@ -147,12 +204,9 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             g_b = jnp.where(upd, gid, g_b)
             if lane == m - 1:
                 is_last = pid < 0
-        # continue multi-packet leaves
-        cont = jnp.logical_not(is_last)
-        stack_ref[jnp.where(cont, sptr, stack_size - 1)] = jnp.where(
-            cont, code - 1, stack_ref[stack_size - 1])
-        sptr = sptr + jnp.where(cont, 1, 0)
-        return (t_cur, u_b, v_b, p_b, g_b), sptr
+        # continue multi-packet leaves: next packet's code is code-1
+        cont_code = jnp.where(is_last, jnp.int32(0), code - 1)
+        return (t_cur, u_b, v_b, p_b, g_b), cont_code
 
     def cond(c):
         sptr = c[0]
@@ -160,30 +214,76 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             return (sptr > 0) & jnp.logical_not(c[1])
         return sptr > 0
 
+    zero = jnp.int32(0)
+
     def body(c):
         if any_hit:
             sptr, _, t_cur, u_b, v_b, p_b, g_b = c
         else:
             sptr, t_cur, u_b, v_b, p_b, g_b = c
-        sptr = sptr - 1
-        code = stack_ref[sptr]
 
-        def do_node(_):
-            t2, sp2 = node_step(code, t_cur, sptr)
-            return (sp2, t2, u_b, v_b, p_b, g_b)
+        # pop up to `pops` entries up-front: their slab tests and the
+        # vector->scalar key reductions are independent, so the hardware
+        # overlaps them — the per-pop serial chain (test -> reduce ->
+        # push -> next pop) is the measured bottleneck, not VPU capacity
+        codes = []
+        for _ in range(pops):
+            valid = sptr > 0
+            top = jnp.where(valid, sptr - 1, zero)
+            code = jnp.where(valid, stack_ref[top], zero)
+            codes.append(code)
+            sptr = jnp.where(valid, top, sptr)
 
-        def do_leaf(_):
-            (t2, u2, v2, p2, g2), sp2 = leaf_step(
-                code, (t_cur, u_b, v_b, p_b, g_b), sptr)
-            return (sp2, t2, u2, v2, p2, g2)
+        carry = (t_cur, u_b, v_b, p_b, g_b)
+        no_push = [zero] * arity
+        all_pushes = []
+        for code in codes:
+            def do_node(_, carry=carry, code=code):
+                def pure_body(_):
+                    return node_step(code, carry[0], True)
 
-        sp2, t2, u2, v2, p2, g2 = jax.lax.cond(code > 0, do_node, do_leaf,
-                                               None)
+                def mixed_body(_):
+                    return node_step(code, carry[0], False)
+
+                childs = jax.lax.cond(tile_pure, pure_body, mixed_body,
+                                      None)
+                return carry + tuple(childs)
+
+            def do_other(_, carry=carry, code=code):
+                def do_leaf(_):
+                    c2, cont = leaf_step(code, carry)
+                    return c2 + (cont,) + tuple(no_push[1:])
+
+                def do_skip(_):
+                    return carry + tuple(no_push)
+
+                if pops == 1:
+                    # a popped code is never 0 when pops == 1 (the loop
+                    # cond guarantees sptr > 0): skip the nested branch
+                    return do_leaf(None)
+                return jax.lax.cond(code < 0, do_leaf, do_skip, None)
+
+            out = jax.lax.cond(code > 0, do_node, do_other, None)
+            carry = out[:5]
+            all_pushes.append(out[5:])
+
+        # entry 0 was nearest: push later entries' children first so
+        # entry 0's children end on top (slot stack_size-1 is a write-back
+        # trash slot for masked pushes; stack_size is sized past the
+        # tree's worst case in _call_kernel, so live entries never
+        # reach it)
+        for pushes in reversed(all_pushes):
+            for r in range(arity - 1, -1, -1):
+                ok = pushes[r] != 0
+                stack_ref[jnp.where(ok, sptr, stack_size - 1)] = pushes[r]
+                sptr = sptr + jnp.where(ok, 1, 0)
+
+        t2, u2, v2, p2, g2 = carry
         if any_hit:
             all_done = jnp.min(jnp.where(tmax < tmin, 1,
                                          (p2 >= 0).astype(jnp.int32))) > 0
-            return (sp2, all_done, t2, u2, v2, p2, g2)
-        return (sp2, t2, u2, v2, p2, g2)
+            return (sptr, all_done, t2, u2, v2, p2, g2)
+        return (sptr, t2, u2, v2, p2, g2)
 
     init_hits = (tmax,
                  jnp.zeros_like(tmax),
@@ -206,7 +306,8 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 
 def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                                any_hit=False, tile_rows=TILE_ROWS,
-                               interpret=False):
+                               interpret=False, pops=POPS,
+                               scalar_reads=SCALAR_READS):
     """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
     hit dict of (R, 128) arrays out (integrator-facing; dead rays =
     tmax < tmin)."""
@@ -224,14 +325,16 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     comp += [prep(c) for c in org] + [prep(c) for c in dirv]
     comp += [prep(tmin), prep(tmax, fill=-1.0)]
     packed = jnp.stack(comp)
-    outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret)
+    outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
+                        pops, scalar_reads)
     t, u, v, p, g = [o[:R] for o in outs]
     t = jnp.where(p < 0, tmax, t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
 
 
 def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
-                    interpret=False):
+                    interpret=False, pops=POPS,
+                    scalar_reads=SCALAR_READS):
     """Packet-kernel traversal; same contract as api.traverse.
     Requires the BVH to fit in VMEM (~100 MB with the raised limit)."""
     B = rays["org"].shape[0]
@@ -251,30 +354,39 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     comp += [prep(rays["tmin"]), prep(rays["tmax"], fill=-1.0)]
     packed = jnp.stack(comp).reshape(11, nt * tile_rows, 128)
 
-    outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret)
+    outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
+                        pops, scalar_reads)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
 
 
-def _pack_two_per_line(table):
-    """(N, C<=64) -> (ceil(N/2), 128): two 64-float-padded rows per
-    128-lane VMEM line (avoids the 128-lane padding waste)."""
+def _pack_rows(table, force_single=False):
+    """Packs (N, C) rows into 128-lane VMEM lines: C<=64 -> two rows per
+    line (avoids the 128-lane padding waste); C<=128 or force_single ->
+    one padded row per line. Returns (packed, rows_per_line)."""
     n, c = table.shape
-    padded = jnp.zeros((n + (n % 2), 64), table.dtype)
-    padded = padded.at[:n, :c].set(table)
-    return padded.reshape(-1, 128)
+    if c <= 64 and not force_single:
+        padded = jnp.zeros((n + (n % 2), 64), table.dtype)
+        padded = padded.at[:n, :c].set(table)
+        return padded.reshape(-1, 128), 2
+    assert c <= 128, f"row width {c} exceeds one VMEM line"
+    padded = jnp.zeros((n, 128), table.dtype)
+    return padded.at[:, :c].set(table), 1
 
 
-def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
+def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
+                 pops=POPS, scalar_reads=SCALAR_READS):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     # no Mosaic off-TPU: fall back to the interpreter automatically so the
     # packet path stays testable on the CPU suite
     interpret = interpret or jax.default_backend() != "tpu"
-    nodes2 = _pack_two_per_line(dev["nodes"])
-    tris2 = _pack_two_per_line(dev["tris"])
+    if interpret:
+        scalar_reads = False  # interpreter path: keep vector loads
+    nodes2, node_rpl = _pack_rows(dev["nodes"], force_single=scalar_reads)
+    tris2, tri_rpl = _pack_rows(dev["tris"], force_single=scalar_reads)
 
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
@@ -287,7 +399,9 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret):
     stack_size = (max(meta.shared_stack + 2, 16)
                   if isinstance(meta, BvhMeta) else STACK)
     kern = functools.partial(_kernel, arity=arity, m=m, any_hit=any_hit,
-                             stack_size=stack_size)
+                             stack_size=stack_size,
+                             node_rpl=node_rpl, tri_rpl=tri_rpl, pops=pops,
+                             scalar_reads=scalar_reads)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
