@@ -69,7 +69,16 @@ def make_rays_c(org, dirv, tmin, tmax):
 
 def _traverse(scene, rays, any_hit=False, packet=False):
     """packet=True uses the Pallas shared-stack kernel (BVH must fit in
-    VMEM); default is the pure-XLA dual-queue loop."""
+    VMEM); default is the pure-XLA dual-queue loop.
+
+    The packet kernel is 10-20x faster on coherent distributions but
+    craters on incoherent ones (tile unions explode — measured 36.8 vs
+    1.8 Mrays/s on hall-260K primary/bounce); the dual-queue loop is
+    per-ray independent and degrades gracefully. The renderer's
+    packet="hybrid" policy in render_sample peels the coherent depth-0
+    work onto the packet kernel and keeps bounces here — the reference's
+    hybrid kernel switch (mapping_cpu.impala:267-324) at wavefront
+    granularity."""
     fn = traverse_packet_components if packet else traverse_components
     return fn(scene["bvh"], rays["org"], rays["dir"],
               rays["inv_dir"], rays["inv_org"],
@@ -312,7 +321,14 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
                   pixel_ids=None, packet=False):
     """Traces one sample per pixel to completion (one wavefront pass).
     pixel_ids indexes the *global* image; when film is a local shard of
-    the same length, scatters use local indices (parallel.mesh)."""
+    the same length, scatters use local indices (parallel.mesh).
+
+    packet: False = XLA dual-queue for every traversal; True = Pallas
+    packet kernel for every traversal (small scenes, BVH in VMEM);
+    "hybrid" = packet kernel for the coherent depth-0 camera + shadow
+    rays (peeled out of the loop), dual-queue for bounce depths — the
+    per-distribution kernel switch the reference's hybrid mode makes
+    per packet (mapping_cpu.impala:267-324)."""
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
     n = pixel_ids.shape[0]
@@ -341,10 +357,16 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     def cond(c):
         return jnp.any(c["state"]["alive"])
 
+    loop_packet = packet is True
+    if packet == "hybrid":
+        # peel the coherent depth-0 iteration onto the packet kernel
+        hit = _traverse(scene, rays, packet=True)
+        rays, state = _shade(scene, rays, hit, state, packet=True)
+
     def body(c):
         rays, state = c["rays"], c["state"]
-        hit = _traverse(scene, rays, packet=packet)
-        rays, state = _shade(scene, rays, hit, state, packet=packet)
+        hit = _traverse(scene, rays, packet=loop_packet)
+        rays, state = _shade(scene, rays, hit, state, packet=loop_packet)
         return {"rays": rays, "state": state}
 
     out = jax.lax.while_loop(cond, body, {"rays": rays, "state": state})

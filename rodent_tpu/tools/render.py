@@ -38,6 +38,13 @@ def main(argv=None):
     p.add_argument("--no-packet", action="store_true",
                    help="disable the Pallas packet traversal (used by "
                         "default when the BVH fits in VMEM)")
+    p.add_argument("--traversal", choices=("auto", "tiled", "packet",
+                                           "hybrid"), default="auto",
+                   help="kernel policy: packet for everything, tiled "
+                        "(XLA dual-queue) for everything, or hybrid "
+                        "(packet for depth-0 camera+shadow rays, tiled "
+                        "for bounces); auto picks hybrid when the BVH "
+                        "fits in VMEM on a TPU backend")
     args = p.parse_args(argv)
 
     import jax
@@ -51,8 +58,14 @@ def main(argv=None):
 
     scene = compile_obj(args.scene, max_path_len=args.max_path_len)
     import jax as _jax
-    packet = ((not args.no_packet) and packet_ok(scene.device)
-              and _jax.default_backend() == "tpu")
+    if args.traversal == "auto":
+        packet = ("hybrid" if ((not args.no_packet)
+                               and packet_ok(scene.device)
+                               and _jax.default_backend() == "tpu")
+                  else False)
+    else:
+        packet = {"tiled": False, "packet": True,
+                  "hybrid": "hybrid"}[args.traversal]
     cam = Camera.make(args.eye, args.dir, args.up, args.fov,
                       args.width, args.height)
     film = film_mod.new_film(args.width, args.height)

@@ -137,3 +137,35 @@ def hall_primary_rays(width=1024, height=1024):
     dirs = dirs.reshape(-1, 3).astype(np.float32)
     org = np.tile(eye[None], (len(dirs), 1))
     return org, dirs
+
+
+def hall_secondary_rays(kind, hit_org, hit_n, seed=11, ao_tmax=10.0):
+    """Secondary-ray distributions from primary hit points, mirroring the
+    reference's benchmark distributions (tools/ray_gen.cpp): "ao" =
+    short any-hit rays, "bounces" = diffuse (cosine-hemisphere) bounce
+    rays — the incoherent workload.
+
+    hit_org (N, 3), hit_n (N, 3) come from a primary-ray trace. Returns
+    (org, dir, tmax)."""
+    r = np.random.RandomState(seed)
+    n = len(hit_org)
+    u1 = r.uniform(size=n).astype(np.float32)
+    u2 = r.uniform(size=n).astype(np.float32)
+    # cosine-weighted hemisphere around the normal
+    phi = 2.0 * np.pi * u1
+    st = np.sqrt(u2)
+    local = np.stack([np.cos(phi) * st, np.sin(phi) * st,
+                      np.sqrt(np.maximum(1.0 - u2, 0.0))], axis=1)
+    # ONB per hit
+    nz = hit_n / np.maximum(np.linalg.norm(hit_n, axis=1, keepdims=True),
+                            1e-20)
+    h = np.where(np.abs(nz[:, 0:1]) > 0.9, [[0.0, 1.0, 0.0]],
+                 [[1.0, 0.0, 0.0]]).astype(np.float32)
+    t = np.cross(h, nz)
+    t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-20)
+    b = np.cross(nz, t)
+    d = (local[:, 0:1] * t + local[:, 1:2] * b + local[:, 2:3] * nz)
+    org = (hit_org + 1e-3 * nz).astype(np.float32)
+    tmax = np.full(n, ao_tmax if kind == "ao" else 3.402823466e38,
+                   np.float32)
+    return org, d.astype(np.float32), tmax

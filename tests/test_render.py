@@ -108,3 +108,19 @@ def test_packet_render_matches(cornell):
             packet=True)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_traversal_policies_agree(cornell):
+    """packet=False / True / "hybrid" must produce the same film up to
+    float reassociation noise across separately-compiled kernels (the
+    hybrid policy peels depth-0 onto the packet kernel)."""
+    from rodent_tpu.render.integrator import render_sample
+    scene = cornell
+    w, h = 24, 16
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, w, h)
+    film0 = jnp.zeros((w * h, 3), jnp.float32)
+    films = [np.asarray(render_sample(scene.device, cam, film0, w, h, 0, 0,
+                                      packet=pol))
+             for pol in (False, True, "hybrid")]
+    np.testing.assert_allclose(films[1], films[0], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(films[2], films[0], atol=1e-5, rtol=1e-5)
