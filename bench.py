@@ -1,20 +1,35 @@
 #!/usr/bin/env python
-"""Headline benchmark: primary-ray traversal throughput (Mrays/s) on one
-chip, the reference's bench_traversal metric
-(tools/bench_traversal/bench_traversal.cpp prints "N Mrays/sec").
+"""Headline benchmark + full metric set on one chip.
 
-Workload: a 260K-triangle sponza-class procedural hall (the sponza mesh is
-not redistributable; see rodent_tpu/utils/testscenes.py), 1024x1024
-coherent primary rays, closest-hit BVH8 traversal. vs_baseline is measured
-against the BASELINE.json north-star target of 100 Mrays/s/chip.
+Headline: primary-ray traversal throughput (Mrays/s), the reference's
+bench_traversal metric ("N Mrays/sec", tools/bench_traversal). Detail
+carries the reference's full distribution triple (primary / ao / bounces,
+benchmarks/benchmark.py) plus the cornell quality gate (MSE vs
+testing/ref-cornell.png at the ctest camera, cmake/test/run_rodent.cmake)
+and renderer throughput (Msamples/s, driver.cpp:341-348).
 
-Prints ONE JSON line.
+Workload: a 260K-triangle sponza-class procedural hall (the sponza mesh
+is not redistributable; see rodent_tpu/utils/testscenes.py), 1024x1024
+rays. vs_baseline compares against the BASELINE.json north-star target of
+100 Mrays/s/chip. Prints ONE JSON line.
 """
 import json
 import sys
 import time
 
 import numpy as np
+
+
+def _bench_traversal(fn, rays, n, iters=5):
+    import jax
+    hit = fn(rays)
+    jax.block_until_ready(hit["t"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        hit = fn(rays)
+    jax.block_until_ready(hit["t"])
+    dt = time.perf_counter() - t0
+    return n * iters / dt / 1e6, hit
 
 
 def main():
@@ -24,52 +39,100 @@ def main():
     import jax.numpy as jnp
     from rodent_tpu.accel import build_bvh
     from rodent_tpu.traversal.api import bvh_to_device, make_rays
-    from rodent_tpu.traversal.pallas_packet import traverse_packet as traverse
-    from rodent_tpu.utils.testscenes import hall_primary_rays, make_hall
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    from rodent_tpu.traversal.tiled import traverse_tiled
+    from rodent_tpu.traversal.sorting import sort_rays
+    from rodent_tpu.utils.testscenes import (hall_primary_rays, make_hall,
+                                             hall_secondary_rays)
 
+    detail = {"backend": jax.default_backend()}
+
+    # ---- traversal triple on the hall scene ----
     verts, idx = make_hall(260_000)
-    bvh = build_bvh(verts, idx, arity=8)
+    # packet kernel economics favor Tri8 leaves (measured: 24.5 -> 30.0)
+    bvh = build_bvh(verts, idx, arity=8, packet=8, leaf_threshold=12)
     dev = bvh_to_device(bvh)
+    detail["num_nodes"] = int(bvh.num_nodes)
+    detail["num_packets"] = int(bvh.num_packets)
 
     org, dirs = hall_primary_rays(1024, 1024)
     n = len(org)
-    rays = make_rays(jnp.asarray(org), jnp.asarray(dirs),
+    prim = make_rays(jnp.asarray(org), jnp.asarray(dirs),
                      jnp.zeros(n, jnp.float32),
                      jnp.full(n, 3.402823466e38, jnp.float32))
     # octant+Morton ordering: coherent tiles cut the packet kernel's
-    # shared-stack union divergence (~+37% measured)
-    from rodent_tpu.traversal.sorting import sort_rays
-    rays, _ = sort_rays(rays, verts.min(0), verts.max(0))
+    # shared-stack union divergence
+    prim_sorted, _ = sort_rays(prim, verts.min(0), verts.max(0))
+    fn_packet = jax.jit(lambda r: traverse_packet(dev, r))
+    mrays_primary, hit = _bench_traversal(fn_packet, prim_sorted, n)
+    detail["primary_mrays"] = round(mrays_primary, 2)
+    detail["primary_hit_fraction"] = round(float(jnp.mean(
+        (hit["prim_id"] >= 0).astype(jnp.float32))), 4)
 
-    chunk = 1048576
-    fn = jax.jit(lambda r: traverse(dev, r))
-    chunks = [jax.tree.map(lambda x: x[i:i + chunk], rays)
-              for i in range(0, n, chunk)]
-    # warmup / compile
-    hit = fn(chunks[0])
-    jax.block_until_ready(hit["t"])
-    hit_frac = float(jnp.mean((hit["prim_id"] >= 0).astype(jnp.float32)))
+    # secondary distributions from the primary hit points (ray_gen role)
+    hit_un = traverse_packet(dev, prim)  # unsorted order for hit points
+    t = np.asarray(hit_un["t"])
+    pid = np.asarray(hit_un["prim_id"])
+    t = np.where(pid >= 0, t, 1.0)  # misses: arbitrary finite point
+    hp = org + dirs * t[:, None]
+    i4 = idx.reshape(-1, 4)
+    tri = np.maximum(pid, 0)
+    v0, v1, v2 = verts[i4[tri, 0]], verts[i4[tri, 1]], verts[i4[tri, 2]]
+    fnrm = np.cross(v0 - v1, v2 - v0)
+    fnrm = np.where((fnrm * dirs).sum(1, keepdims=True) > 0, -fnrm, fnrm)
 
-    iters = 5
+    for kind, any_hit in (("ao", True), ("bounces", False)):
+        o2, d2, tmax2 = hall_secondary_rays(kind, hp, fnrm)
+        rays2 = make_rays(jnp.asarray(o2), jnp.asarray(d2),
+                          jnp.full(n, 1e-3, jnp.float32),
+                          jnp.asarray(tmax2))
+        rays2, _ = sort_rays(rays2, verts.min(0), verts.max(0))
+        # incoherent distributions ride the dual-queue path (the hybrid
+        # policy's bounce engine; packet tiles crater on scattered rays)
+        fn2 = jax.jit(lambda r, ah=any_hit: traverse_tiled(dev, r,
+                                                           any_hit=ah))
+        mrays2, _h = _bench_traversal(fn2, rays2, n, iters=3)
+        detail[f"{kind}_mrays"] = round(mrays2, 2)
+
+    # ---- cornell quality gate + renderer throughput ----
+    from rodent_tpu.io import png
+    from rodent_tpu.render import film as film_mod
+    from rodent_tpu.render.camera import Camera
+    from rodent_tpu.render.compiler import compile_obj, packet_ok
+    from rodent_tpu.render.integrator import render_iteration_persistent
+
+    ref = png.read_png("/root/reference/testing/ref-cornell.png")[..., :3]
+    H0, W0 = ref.shape[:2]
+    # 50 iters = the ctest config (cmake/test/run_rodent.cmake); MSE at
+    # fewer iterations is Monte-Carlo-noise-dominated and not comparable
+    iters, spp = 50, 4
+    scene = compile_obj("/root/reference/testing/cornell_box.obj",
+                        max_path_len=64)
+    packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
+    film = film_mod.new_film(W0, H0)
+    # compile pass (iteration 0), then timed passes
+    film = render_iteration_persistent(scene.device, cam, film, W0, H0,
+                                       spp, 0, packet=packet)
+    jax.block_until_ready(film)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        hits = [fn(c) for c in chunks]
-    jax.block_until_ready(hits[-1]["t"])
+    for it in range(1, iters):
+        film = render_iteration_persistent(scene.device, cam, film, W0, H0,
+                                           spp, it, packet=packet)
+    jax.block_until_ready(film)
     dt = time.perf_counter() - t0
-    mrays = n * iters / dt / 1e6
+    img = film_mod.tonemap(film, W0, H0, iters)
+    detail["cornell_mse_u8"] = round(film_mod.mse_u8(ref, img), 2)
+    detail["cornell_msamples"] = round(
+        W0 * H0 * spp * (iters - 1) / dt / 1e6, 2)
+    detail["cornell_iters"] = iters
 
     print(json.dumps({
         "metric": "hall260k_primary_traversal",
-        "value": round(mrays, 3),
+        "value": round(mrays_primary, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 100.0, 4),
-        "detail": {
-            "rays": n, "iters": iters, "seconds": round(dt, 3),
-            "hit_fraction": round(hit_frac, 4),
-            "backend": jax.default_backend(),
-            "num_nodes": int(bvh.num_nodes),
-            "num_packets": int(bvh.num_packets),
-        },
+        "vs_baseline": round(mrays_primary / 100.0, 4),
+        "detail": detail,
     }))
 
 
