@@ -34,6 +34,10 @@ import jax.numpy as jnp
 
 from ..core import vmath as vm
 from ..core.rng import randf
+from ..core.sampling import (cosine_hemisphere_pdf,
+                             cosine_power_hemisphere_pdf,
+                             sample_cosine_hemisphere_c,
+                             sample_cosine_power_hemisphere_c)
 
 BLACK, DIFFUSE, PHONG, MIRROR, GLASS, MIX = 0, 1, 2, 3, 4, 5
 
@@ -46,14 +50,6 @@ def is_specular(mat):
     return (mat["kind"] == MIRROR) | (mat["kind"] == GLASS)
 
 
-def _cosine_hemisphere_pdf(c):
-    return c * (1.0 / vm.PI)
-
-
-def _cosine_power_pdf(c, k):
-    return jnp.power(jnp.maximum(c, 0.0), k) * (k + 1.0) * (1.0 / (2.0 * vm.PI))
-
-
 def _diffuse_eval(mat):
     return vm.scale(mat["kd"], 1.0 / vm.PI)
 
@@ -64,7 +60,7 @@ def _phong_eval_pdf(mat, surf, in_dir, out_dir):
     ns = mat["ns"]
     e = vm.scale(mat["ks"], jnp.power(cos, ns) * (ns + 2.0)
                  * (1.0 / (2.0 * vm.PI)))
-    return e, _cosine_power_pdf(cos, ns)
+    return e, cosine_power_hemisphere_pdf(cos, ns)
 
 
 def eval_pdf(mat, surf, in_dir, out_dir):
@@ -73,7 +69,7 @@ def eval_pdf(mat, surf, in_dir, out_dir):
     cos_n = positive_cos(in_dir, surf["n"])
 
     d_e = _diffuse_eval(mat)
-    d_pdf = _cosine_hemisphere_pdf(cos_n)
+    d_pdf = cosine_hemisphere_pdf(cos_n)
     p_e, p_pdf = _phong_eval_pdf(mat, surf, in_dir, out_dir)
     k = mat["mix_k"]
 
@@ -112,24 +108,16 @@ def sample(mat, surf, rnd, out_dir):
     falsem = jnp.zeros_like(u0, bool)
 
     # --- diffuse: cosine hemisphere in the shading frame ---
-    dc = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
-    ds = jnp.sqrt(u2)
-    dphi = 2.0 * vm.PI * u1
-    d_local = (ds * jnp.cos(dphi), ds * jnp.sin(dphi), dc)
-    d_pdf = _cosine_hemisphere_pdf(dc)
+    d_local, d_pdf = sample_cosine_hemisphere_c(u1, u2)
     d_dir = vm.basis_mul(t_, b_, n, d_local)
-    d_cos = dc
+    d_cos = d_local[2]
     d_color = _diffuse_eval(mat)
     d_pdf, d_color = _validate(surf, d_dir, d_pdf, d_color, falsem)
 
     # --- phong: cosine-power lobe around the reflection direction ---
     ns = mat["ns"]
     refl = vm.reflect(out_dir, n)
-    pc = jnp.minimum(jnp.power(u2, 1.0 / (ns + 1.0)), 1.0)
-    ps = jnp.sqrt(jnp.maximum(1.0 - pc * pc, 0.0))
-    pow_c_k = jnp.where(pc != 0.0, u2 / jnp.where(pc != 0.0, pc, 1.0), 0.0)
-    p_pdf = pow_c_k * (ns + 1.0) * (1.0 / (2.0 * vm.PI))
-    p_local = (ps * jnp.cos(dphi), ps * jnp.sin(dphi), pc)
+    p_local, p_pdf = sample_cosine_power_hemisphere_c(ns, u1, u2)
     rt, rb, rn = vm.onb(refl)
     p_dir = vm.basis_mul(rt, rb, rn, p_local)
     p_cos = positive_cos(p_dir, n)
@@ -163,7 +151,7 @@ def sample(mat, surf, rnd, out_dir):
     x_dir = vm.where(pick_phong, p_dir, d_dir)
     x_cos = jnp.where(pick_phong, p_cos, d_cos)
     de = _diffuse_eval(mat)
-    dp = _cosine_hemisphere_pdf(positive_cos(x_dir, n))
+    dp = cosine_hemisphere_pdf(positive_cos(x_dir, n))
     pe, pp = _phong_eval_pdf(mat, surf, x_dir, out_dir)
     chosen_color = vm.where(pick_phong, p_color, d_color)
     chosen_pdf = jnp.where(pick_phong, p_pdf_v, d_pdf)

@@ -48,3 +48,31 @@ class Camera:
                            + up * (self.h * ky)[..., None] + d)
         org = jnp.broadcast_to(vec3(*self.eye), raydir.shape)
         return org, raydir
+
+    def project(self, p):
+        """Projects world points (..., 3) onto the image plane
+        (camera.impala:44-49): (dot(d,right)/w, dot(d,up)/h, -dot(d,dir))
+        with d the normalized eye->p direction."""
+        d = normalize(p - jnp.asarray(self.eye, p.dtype))
+        return jnp.stack(
+            [jnp.sum(d * jnp.asarray(self.right, p.dtype), -1) / self.w,
+             jnp.sum(d * jnp.asarray(self.up, p.dtype), -1) / self.h,
+             -jnp.sum(d * jnp.asarray(self.dir, p.dtype), -1)], axis=-1)
+
+    def unproject(self, p):
+        """camera.impala:50: a pinhole has a single aperture point — the
+        unprojection of any image-plane point is the eye."""
+        return jnp.broadcast_to(jnp.asarray(self.eye, jnp.float32),
+                                jnp.shape(p))
+
+    def geometry(self, kx, ky):
+        """Local camera geometry at an image-plane point
+        (camera.impala:51-54): dist = sqrt(1 + (x w)^2 + (y h)^2),
+        cos_dir = 1/dist, area = 1/(4 w h) (pixel area relative to the
+        full image plane). Used by light tracers for camera connections."""
+        d = jnp.sqrt(1.0 + kx * kx * self.w * self.w
+                     + ky * ky * self.h * self.h)
+        return {"cos_dir": 1.0 / d, "dist": d,
+                "area": jnp.broadcast_to(
+                    jnp.float32(1.0 / (4.0 * self.w * self.h)),
+                    jnp.shape(d))}

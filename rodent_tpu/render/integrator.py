@@ -378,6 +378,32 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     return _splat(film, film_index, acc, live)
 
 
+@partial(jax.jit, static_argnames=("camera", "width", "height", "packet"),
+         donate_argnames=("film",))
+def render_debug(scene, camera, film, width, height, iteration,
+                 packet=False):
+    """Eye-light debug renderer (make_debug_renderer,
+    renderer.impala:42-60): one camera pass, no NEE/bounces, accumulates
+    white * -dot(ray.dir, shading normal). spp is fixed at 1 as in the
+    reference (device.trace(scene, path_tracer, 1))."""
+    n = width * height
+    r = num_tiles(n)
+    live = tile(jnp.ones(n, jnp.int32), r) == 1
+    pix = tile(jnp.arange(n, dtype=jnp.int32), r)
+    org, d, _rnd = _emit_camera(camera, width, height, 0, iteration, pix)
+    rays = make_rays_c(org, d, jnp.zeros((r, 128), jnp.float32),
+                       jnp.where(live, FLT_MAX, -1.0))
+    hit = _traverse(scene, rays, packet=packet)
+    surf = surface_element(scene, rays, hit)
+    shade = jnp.maximum(-vm.dot(rays["dir"], surf["n"]), 0.0)
+    shade = jnp.where(live & (hit["prim_id"] >= 0), shade, 0.0)
+    color = (shade, shade, shade)
+    if film.shape[0] == n and n == r * 128:
+        rows = jnp.stack([c.reshape(n) for c in color], axis=-1)
+        return film + rows
+    return _splat(film, pix, color, live)
+
+
 @partial(jax.jit, static_argnames=("camera", "width", "height", "spp",
                                    "packet"),
          donate_argnames=("film",))

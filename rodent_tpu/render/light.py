@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..core import sampling
 from ..core import vmath as vm
 from ..core.rng import randf, randi
 
@@ -99,9 +100,13 @@ def _row(table, key, light_idx):
         return out
     if col.ndim == 1:
         return col[light_idx.reshape(-1)].reshape(light_idx.shape)
+    # component-column 1D gathers: (n, 3)-row gathers are the
+    # multi-dim-trailing-gather pattern measured at ~100-150x slow
+    # (traversal/api.py layout notes); XLA hoists the per-component
+    # slices out of the render loop
     flatidx = light_idx.reshape(-1)
-    rows = col[flatidx]
-    return tuple(rows[:, i].reshape(light_idx.shape) for i in range(3))
+    return tuple(col[:, i][flatidx].reshape(light_idx.shape)
+                 for i in range(3))
 
 
 def sample_direct(table, light_idx, rnd, from_point):
@@ -120,13 +125,7 @@ def sample_direct(table, light_idx, rnd, from_point):
     color = _row(table, "color", light_idx)
 
     # sample_triangle (random.impala:49-59)
-    flip = (u + v) > 1.0
-    uu = jnp.where(flip, 1.0 - u, u)
-    vv = jnp.where(flip, 1.0 - v, v)
-    w = 1.0 - uu - vv
-    pos_t = (w * v0[0] + uu * v1[0] + vv * v2[0],
-             w * v0[1] + uu * v1[1] + vv * v2[1],
-             w * v0[2] + uu * v1[2] + vv * v2[2])
+    pos_t = sampling.sample_triangle_c(u, v, v0, v1, v2)
     d = vm.sub(from_point, pos_t)
     cos_t = vm.dot(d, n) / jnp.maximum(vm.length(d), 1e-30)
     pdf_dir_t = cos_t * (1.0 / vm.PI)
@@ -154,6 +153,65 @@ def sample_direct(table, light_idx, rnd, from_point):
         "pdf_dir": pdf_dir,
         "cos": cos,
         "has_area": is_tri,
+    }, rnd
+
+
+def sample_emission(table, light_idx, rnd):
+    """Light.sample_emission (light.impala:35-44): samples a point on the
+    light and an outgoing direction. Point lights draw a uniform-sphere
+    direction (light.impala:110-116); triangle lights draw a surface point
+    plus a cosine-hemisphere direction around the precomputed normal
+    (make_area_light:131-134). Used by light tracers / photon emission;
+    the camera-path tracer itself only needs sample_direct.
+
+    Returns (dict(pos, dir, intensity, pdf_area, pdf_dir, cos), rnd)."""
+    kind = _row(table, "kind", light_idx)
+    u, rnd = randf(rnd)
+    v, rnd = randf(rnd)
+    u2, rnd = randf(rnd)
+    v2, rnd = randf(rnd)
+
+    v0 = _row(table, "v0", light_idx)
+    v1 = _row(table, "v1", light_idx)
+    v2_ = _row(table, "v2", light_idx)
+    n = _row(table, "n", light_idx)
+    inv_area = _row(table, "inv_area", light_idx)
+    color = _row(table, "color", light_idx)
+
+    # triangle: pos ~ uniform on tri, dir ~ cosine hemisphere about n
+    pos_t = sampling.sample_triangle_c(u, v, v0, v1, v2_)
+    local, pdf_cos = sampling.sample_cosine_hemisphere_c(u2, v2)
+    t_, b_, n_ = vm.onb(n)
+    dir_t = vm.basis_mul(t_, b_, n_, local)
+    cos_t = local[2]
+
+    # point: pos = v0 (storage), dir ~ uniform sphere
+    dir_p, pdf_sph = sampling.sample_uniform_sphere_c(u2, v2)
+
+    is_tri = kind == TRIANGLE
+    pos = vm.where(is_tri, pos_t, v0)
+    dirv = vm.where(is_tri, dir_t, dir_p)
+    intensity = vm.where(is_tri, color,
+                         vm.scale(color, 1.0 / (4.0 * vm.PI)))
+    pdf_area = jnp.where(is_tri, inv_area, 1.0)
+    pdf_dir = jnp.where(is_tri, pdf_cos, pdf_sph)
+    cos = jnp.where(is_tri, cos_t, 1.0)
+
+    # make_emission_sample validity (light.impala:46-66)
+    valid = (pdf_area > 0.0) & (pdf_dir > 0.0) & (cos > 0.0)
+    zero = vm.splat((0.0, 0.0, 0.0), like=cos)
+    intensity = vm.where(valid, intensity, zero)
+    pdf_area = jnp.where(valid, pdf_area, 1.0)
+    pdf_dir = jnp.where(valid, pdf_dir, 1.0)
+    cos = jnp.where(valid, cos, 1.0)
+
+    return {
+        "pos": pos,
+        "dir": dirv,
+        "intensity": intensity,
+        "pdf_area": pdf_area,
+        "pdf_dir": pdf_dir,
+        "cos": cos,
     }, rnd
 
 

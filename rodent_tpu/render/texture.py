@@ -80,7 +80,14 @@ def make_texture(image, border=BORDER_REPEAT, filter=FILTER_BILINEAR):
 
 
 def load_texture(path, gamma=2.2):
-    """PNG path -> linear (H, W, 3) f32 (device.load_png role)."""
+    """Image path -> linear (H, W, 3) f32; dispatches PNG/JPEG by
+    signature (device.load_png / device.load_jpg roles,
+    src/driver/image.cpp + interface.cpp:584-596)."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\xff\xd8":
+        from ..io import jpg
+        return image_from_u8(jpg.read_jpg(path), gamma)
     from ..io import png
     return image_from_u8(png.read_png(path), gamma)
 

@@ -52,8 +52,13 @@ _F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
 
 def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
-            stack_ref, arity, m, any_hit, stack_size,
-            node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False):
+            *rest, arity, m, any_hit, stack_size,
+            node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False,
+            count_pops=False):
+    if count_pops:
+        cnt_ref, stack_ref, cnt_sm = rest
+    else:
+        (stack_ref,) = rest
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -91,6 +96,8 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     tmax = rays_ref[10]
 
     stack_ref[0] = jnp.int32(1)  # root (1-based node ref)
+    if count_pops:
+        cnt_sm[0] = jnp.int32(0)
 
     # per-tile octant purity: after the Morton+octant sort almost every
     # tile shares direction signs on every axis, so the near/far bound of
@@ -221,6 +228,8 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             sptr, _, t_cur, u_b, v_b, p_b, g_b = c
         else:
             sptr, t_cur, u_b, v_b, p_b, g_b = c
+        if count_pops:
+            cnt_sm[0] = cnt_sm[0] + 1
 
         # pop up to `pops` entries up-front: their slab tests and the
         # vector->scalar key reductions are independent, so the hardware
@@ -302,6 +311,8 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     v_ref[:] = v_b
     prim_ref[:] = p_b
     geom_ref[:] = g_b
+    if count_pops:
+        cnt_ref[:] = jnp.full((8, 128), cnt_sm[0], jnp.int32)
 
 
 def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
@@ -376,7 +387,7 @@ def _pack_rows(table, force_single=False):
 
 
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
-                 pops=POPS, scalar_reads=SCALAR_READS):
+                 pops=POPS, scalar_reads=SCALAR_READS, count_pops=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -401,7 +412,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     kern = functools.partial(_kernel, arity=arity, m=m, any_hit=any_hit,
                              stack_size=stack_size,
                              node_rpl=node_rpl, tri_rpl=tri_rpl, pops=pops,
-                             scalar_reads=scalar_reads)
+                             scalar_reads=scalar_reads,
+                             count_pops=count_pops)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
@@ -409,6 +421,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.int32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.int32),
     ]
+    if count_pops:
+        out_shapes.append(jax.ShapeDtypeStruct((nt * 8, 128), jnp.int32))
     tile_spec = pl.BlockSpec((1, tile_rows, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
     rays_spec = pl.BlockSpec((11, tile_rows, 128), lambda i: (0, i, 0),
@@ -416,6 +430,10 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    out_specs = [out_spec] * 5
+    if count_pops:
+        out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         kern,
@@ -426,8 +444,10 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(tris2.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[out_spec] * 5,
-        scratch_shapes=[pltpu.SMEM((stack_size,), jnp.int32)],
+        out_specs=out_specs,
+        scratch_shapes=([pltpu.SMEM((stack_size,), jnp.int32)]
+                        + ([pltpu.SMEM((1,), jnp.int32)] if count_pops
+                           else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
