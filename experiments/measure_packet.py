@@ -95,8 +95,10 @@ def main():
             comp += [rays["tmin"], rays["tmax"]]
             pad = nt * tile - n
             if pad:
-                comp = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)])
-                        for c in comp]
+                # pad rays must be dead: tmax (index 10) = -1 < tmin
+                comp = [jnp.concatenate(
+                    [c, jnp.full(pad, -1.0 if ci == 10 else 0.0, c.dtype)])
+                    for ci, c in enumerate(comp)]
             packed = jnp.stack(comp).reshape(11, nt * rows, 128)
             outs = pp._call_kernel(dev, packed, nt, rows, any_hit,
                                    False, count_pops=True)

