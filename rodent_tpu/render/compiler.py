@@ -192,7 +192,7 @@ def compile_obj(path, arity=8, max_path_len=64):
     base = os.path.dirname(os.path.abspath(path))
     tex_files = []
     for m in mats:
-        for name in (m.map_kd, m.map_ks):
+        for name in (m.map_kd, m.map_ks, m.map_ke):
             if name and name not in tex_files:
                 p_ = os.path.join(base, name)
                 if os.path.exists(p_):
@@ -200,12 +200,15 @@ def compile_obj(path, arity=8, max_path_len=64):
     tex_index = {n: i for i, n in enumerate(tex_files)}
     mat_params = [material_to_params(m, tex_index) for m in mats]
 
-    # triangle lights from emissive materials
+    # triangle lights from emissive materials; textured emission carries
+    # the Ke texture id into the light table (converter.cpp:794-806)
     ke_table = np.asarray([p["ke"] for p in mat_params], np.float32)
+    ke_tex_ids = [tex_index.get(m.map_ke, -1) for m in mats]
     emissive_tri = np.asarray(
         [mat_params[m]["emissive"] for m in mesh.tri_materials], bool)
-    lights, light_ids = light_mod.build_light_table(mesh, ke_table,
-                                                    emissive_tri)
+    lights, light_ids = light_mod.build_light_table(
+        mesh, ke_table, emissive_tri,
+        ke_tex=ke_tex_ids if any(k >= 0 for k in ke_tex_ids) else None)
     num_lights = int((lights["kind"] == light_mod.TRIANGLE).sum()) or 1
 
     bvh = build_bvh(mesh.vertices, mesh.indices, arity=arity)

@@ -231,6 +231,13 @@ def _shade(scene, rays, hit, state, packet=False):
 
     # ---- on_hit: emissive surface seen by the path ----
     emit = light_mod.emission(scene["lights"], surf["light_id"], out_dir)
+    if "ke_tex" in scene["lights"] and "textures" in scene:
+        # textured emission (converter.cpp:794-806 has_map_ke intent):
+        # radiance = Ke texture at the hit point's uv
+        ket = emit["ke_tex"]
+        tex_rgb = _sample_bank(scene, ket, surf["uv"])
+        emit["intensity"] = vm.where((ket >= 0) & emit["valid"], tex_rgb,
+                                     emit["intensity"])
     cos_o = vm.dot(out_dir, surf["n"])
     next_mis = state["mis"] * hit["t"] * hit["t"] / jnp.where(
         cos_o != 0.0, cos_o, 1.0)
@@ -246,6 +253,11 @@ def _shade(scene, rays, hit, state, packet=False):
     lidx, rnd = light_mod.pick_uniform(num_lights, rnd)
     ls, rnd = light_mod.sample_direct(scene["lights"], lidx, rnd,
                                       surf["point"])
+    if "ke_tex" in scene["lights"] and "textures" in scene:
+        ket = ls["ke_tex"]
+        tex_rgb = _sample_bank(scene, ket, ls["uv"])
+        ls["intensity"] = vm.where((ket >= 0) & ls["valid"], tex_rgb,
+                                   ls["intensity"])
     light_vec = vm.sub(ls["pos"], surf["point"])
     vis = vm.dot(light_vec, surf["n"])
     nee_ok = do_nee & (vis > 0.0) & (ls["cos"] > 0.0)

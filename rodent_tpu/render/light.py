@@ -28,14 +28,22 @@ POINT, TRIANGLE = 0, 1
 _SELECT_CHAIN_MAX = 32
 
 
-def build_light_table(mesh, materials_ke, light_tri_mask):
+def build_light_table(mesh, materials_ke, light_tri_mask, ke_tex=None):
     """Extracts triangle lights from emissive-material triangles, mirroring
     converter.cpp:771-856. Returns (table dict of numpy arrays, light_ids
-    per triangle — 0 for non-lights, as the reference leaves them)."""
+    per triangle — 0 for non-lights, as the reference leaves them).
+
+    ke_tex: optional per-material emission-texture ids (-1 = constant).
+    When any light is textured, the table carries the light triangle's
+    vertex uvs + per-light texture id; intensity then comes from the Ke
+    texture at the surface point (the converter's has_map_ke branch,
+    converter.cpp:794-806 — its generated code hands make_texture to
+    make_triangle_light's Color slot, i.e. intent: textured radiance)."""
     tri_idx = mesh.tri_indices
     num_tris = len(tri_idx)
     light_ids = np.zeros(num_tris, np.int32)
     v0s, v1s, v2s, ns, inv_areas, colors = [], [], [], [], [], []
+    uv0s, uv1s, uv2s, ktexs = [], [], [], []
     for t in np.nonzero(light_tri_mask)[0]:
         i0, i1, i2 = tri_idx[t]
         v0 = mesh.vertices[i0]
@@ -51,6 +59,11 @@ def build_light_table(mesh, materials_ke, light_tri_mask):
         ns.append(n / ln)
         inv_areas.append(inv_area)
         colors.append(materials_ke[mesh.tri_materials[t]])
+        if ke_tex is not None:
+            uv0s.append(mesh.texcoords[i0])
+            uv1s.append(mesh.texcoords[i1])
+            uv2s.append(mesh.texcoords[i2])
+            ktexs.append(ke_tex[mesh.tri_materials[t]])
     if not v0s:
         # dummy black point light (converter.cpp:848-850)
         return {
@@ -62,7 +75,7 @@ def build_light_table(mesh, materials_ke, light_tri_mask):
             "inv_area": np.ones(1, np.float32),
             "color": np.zeros((1, 3), np.float32),
         }, light_ids
-    return {
+    table = {
         "kind": np.full(len(v0s), TRIANGLE, np.int32),
         "v0": np.asarray(v0s, np.float32),
         "v1": np.asarray(v1s, np.float32),
@@ -70,7 +83,13 @@ def build_light_table(mesh, materials_ke, light_tri_mask):
         "n": np.asarray(ns, np.float32),
         "inv_area": np.asarray(inv_areas, np.float32),
         "color": np.asarray(colors, np.float32),
-    }, light_ids
+    }
+    if ke_tex is not None and any(k >= 0 for k in ktexs):
+        table["uv0"] = np.asarray(uv0s, np.float32)
+        table["uv1"] = np.asarray(uv1s, np.float32)
+        table["uv2"] = np.asarray(uv2s, np.float32)
+        table["ke_tex"] = np.asarray(ktexs, np.int32)
+    return table, light_ids
 
 
 def pick_uniform(lights_n, rnd):
@@ -91,12 +110,14 @@ def _row(table, key, light_idx):
             for i in range(1, n):
                 out = jnp.where(light_idx == i, col[i], out)
             return out
-        # (n, 3) -> Vec3 select chain over traced scalar rows
+        # (n, k) -> component-tuple select chain over traced scalars
         zero = jnp.zeros(light_idx.shape, col.dtype)
-        out = (zero + col[0, 0], zero + col[0, 1], zero + col[0, 2])
+        k = col.shape[1]
+        out = tuple(zero + col[0, j] for j in range(k))
         for i in range(1, n):
-            out = vm.where(light_idx == i,
-                           (col[i, 0], col[i, 1], col[i, 2]), out)
+            sel = tuple(jnp.where(light_idx == i, col[i, j], out[j])
+                        for j in range(k))
+            out = sel
         return out
     if col.ndim == 1:
         return col[light_idx.reshape(-1)].reshape(light_idx.shape)
@@ -106,7 +127,7 @@ def _row(table, key, light_idx):
     # slices out of the render loop
     flatidx = light_idx.reshape(-1)
     return tuple(col[:, i][flatidx].reshape(light_idx.shape)
-                 for i in range(3))
+                 for i in range(col.shape[1]))
 
 
 def sample_direct(table, light_idx, rnd, from_point):
@@ -146,14 +167,29 @@ def sample_direct(table, light_idx, rnd, from_point):
     pdf_dir = jnp.where(valid, pdf_dir, 1.0)
     cos = jnp.where(valid, cos, 0.0)
 
-    return {
+    out = {
         "pos": pos,
         "intensity": intensity,
         "pdf_area": pdf_area,
         "pdf_dir": pdf_dir,
         "cos": cos,
         "has_area": is_tri,
-    }, rnd
+        "valid": valid,
+    }
+    if "ke_tex" in table:
+        # uv at the sampled point, same barycentrics as pos_t (textured
+        # emission: intensity overlaid by the integrator's bank sampler)
+        uv0 = _row(table, "uv0", light_idx)
+        uv1 = _row(table, "uv1", light_idx)
+        uv2 = _row(table, "uv2", light_idx)
+        flip = (u + v) > 1.0
+        uu_ = jnp.where(flip, 1.0 - u, u)
+        vv_ = jnp.where(flip, 1.0 - v, v)
+        w_ = 1.0 - uu_ - vv_
+        out["uv"] = tuple(w_ * a + uu_ * b + vv_ * c
+                          for a, b, c in zip(uv0, uv1, uv2))
+        out["ke_tex"] = _row(table, "ke_tex", light_idx)
+    return out, rnd
 
 
 def sample_emission(table, light_idx, rnd):
@@ -227,8 +263,12 @@ def emission(table, light_idx, out_dir):
     pdf_dir = vm.dot(n, out_dir) * (1.0 / vm.PI)
     valid = (pdf_dir > 0.0) & is_tri
     zero = vm.splat((0.0, 0.0, 0.0), like=pdf_dir)
-    return {
+    out = {
         "intensity": vm.where(valid, color, zero),
         "pdf_area": jnp.where(valid, inv_area, 1.0),
         "pdf_dir": jnp.where(valid, pdf_dir, 1.0),
+        "valid": valid,
     }
+    if "ke_tex" in table:
+        out["ke_tex"] = _row(table, "ke_tex", light_idx)
+    return out

@@ -144,11 +144,18 @@ def bvh_to_device(bvh):
     # so they never become traced values under jit; "meta" is a static
     # pytree node (stack sizing data, no array leaves)
     s_need, n_need = compute_stack_needs(bvh.child)
-    return {
+    dev = {
         "nodes": jnp.asarray(nodes),
         "tris": jnp.asarray(tris),
         "meta": BvhMeta(shared_stack=s_need, node_stack=n_need),
     }
+    if a == 8 and m == 8:
+        # pair-kernel row layouts (traversal.pallas_pair)
+        from .pallas_pair import pack_tables
+        pn, pt = pack_tables(nodes, tris)
+        dev["pair_nodes"] = jnp.asarray(pn)
+        dev["pair_tris"] = jnp.asarray(pt)
+    return dev
 
 
 def _round_up(x, m):

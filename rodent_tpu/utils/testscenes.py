@@ -169,3 +169,202 @@ def hall_secondary_rays(kind, hit_org, hit_n, seed=11, ao_tmax=10.0):
     tmax = np.full(n, ao_tmax if kind == "ao" else 3.402823466e38,
                    np.float32)
     return org, d.astype(np.float32), tmax
+
+
+def _param_patch(fn, nu, nv, mat=0, close_u=False):
+    """Tessellated parametric surface: fn(uu, vv) -> (..., 3) points."""
+    u = np.linspace(0.0, 1.0, nu + 1)
+    v = np.linspace(0.0, 1.0, nv + 1)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    verts = fn(uu, vv).reshape(-1, 3).astype(np.float32)
+    idx = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * (nv + 1) + j
+            b = (i + 1) * (nv + 1) + j
+            idx.append((a, b, a + 1, mat))
+            idx.append((a + 1, b, b + 1, mat))
+    return verts, np.asarray(idx, np.int32)
+
+
+def make_crown(target_tris=800_000, seed=13):
+    """Crown-analog scene (the reference benchmarks on the Blender crown:
+    a compact, geometrically dense object with very high depth complexity
+    — overlapping filigree in a small volume). Procedural stand-in: a
+    torus band carrying rings of displaced bumpy spikes and gem spheres,
+    everything overlapping in a tight shell. Camera orbits close so
+    primary rays hit many depth layers."""
+    rng = np.random.RandomState(seed)
+    all_v, all_i, voff = [], [], 0
+
+    def add(v, i):
+        nonlocal voff
+        i = i.copy()
+        i[:, :3] += voff
+        voff += len(v)
+        all_v.append(v)
+        all_i.append(i)
+
+    R, r = 2.0, 0.35            # band torus
+    n_spikes = 24
+    n_gems = 48
+    # triangle budget split: 30% band, 40% spikes, 30% gems
+    band_tris = int(target_tris * 0.3)
+    nu = max(int(np.sqrt(band_tris / 4)), 8)
+
+    def torus(uu, vv):
+        a = 2 * np.pi * uu
+        b = 2 * np.pi * vv
+        rr = r * (1.0 + 0.15 * np.sin(8 * a) * np.cos(6 * b))
+        x = (R + rr * np.cos(b)) * np.cos(a)
+        z = (R + rr * np.cos(b)) * np.sin(a)
+        y = rr * np.sin(b)
+        return np.stack([x, y, z], axis=-1)
+
+    add(*_param_patch(torus, 2 * nu, nu, mat=0))
+
+    spike_tris = int(target_tris * 0.4) // n_spikes
+    ns = max(int(np.sqrt(spike_tris / 2)), 4)
+    for k in range(n_spikes):
+        a = 2 * np.pi * k / n_spikes
+        cx, cz = R * np.cos(a), R * np.sin(a)
+        h = 1.2 + rng.uniform(-0.2, 0.3)
+
+        def spike(uu, vv, cx=cx, cz=cz, h=h):
+            ang = 2 * np.pi * uu
+            rad = 0.22 * (1 - vv) * (1 + 0.2 * np.sin(10 * ang))
+            x = cx + rad * np.cos(ang)
+            z = cz + rad * np.sin(ang)
+            y = r + vv * h
+            return np.stack([x, y, z], axis=-1)
+
+        add(*_param_patch(spike, ns, ns, mat=1))
+
+    gem_tris = int(target_tris * 0.3) // n_gems
+    ng = max(int(np.sqrt(gem_tris / 2)), 4)
+    for k in range(n_gems):
+        a = 2 * np.pi * (k + 0.5) / n_gems
+        cx, cz = R * np.cos(a), R * np.sin(a)
+        cy = rng.uniform(-0.1, 0.5)
+        rad = rng.uniform(0.1, 0.22)
+
+        def gem(uu, vv, cx=cx, cy=cy, cz=cz, rad=rad):
+            th = np.pi * vv
+            ph = 2 * np.pi * uu
+            # faceted: quantize the sphere angles
+            th = np.round(th * 6) / 6
+            ph = np.round(ph * 6) / 6
+            x = cx + rad * np.sin(th) * np.cos(ph)
+            y = cy + rad * np.cos(th)
+            z = cz + rad * np.sin(th) * np.sin(ph)
+            return np.stack([x, y, z], axis=-1)
+
+        add(*_param_patch(gem, ng, ng, mat=2))
+
+    verts = np.concatenate(all_v)
+    idx = np.concatenate(all_i)
+    return verts, idx.reshape(-1)
+
+
+def crown_primary_rays(width=1024, height=1024):
+    """Close orbit camera looking at the crown center."""
+    eye = np.asarray([4.2, 1.8, 1.2], np.float32)
+    target = np.asarray([0.0, 0.4, 0.0], np.float32)
+    return _pinhole(eye, target - eye, width, height, fov=42.0)
+
+
+def make_powerplant(target_tris=2_000_000, seed=17):
+    """Powerplant-analog scene (the reference's largest benchmark mesh:
+    12.7M tris of mostly axis-aligned industrial piping over huge
+    extents). Procedural stand-in: a 3D lattice of axis-aligned pipes at
+    two scales plus large boiler cylinders — sparse occupancy, long
+    sightlines, the any-hit-friendly profile of the original."""
+    rng = np.random.RandomState(seed)
+    all_v, all_i, voff = [], [], 0
+
+    def add(v, i):
+        nonlocal voff
+        i = i.copy()
+        i[:, :3] += voff
+        voff += len(v)
+        all_v.append(v)
+        all_i.append(i)
+
+    W = 200.0
+    n_pipes = 220
+    pipe_tris = int(target_tris * 0.75) // n_pipes
+    seg = max(int(np.sqrt(pipe_tris / 8)), 6)
+
+    def pipe(p0, axis, length, rad, mat):
+        def f(uu, vv, p0=p0, axis=axis, length=length, rad=rad):
+            ang = 2 * np.pi * uu
+            a1 = (axis + 1) % 3
+            a2 = (axis + 2) % 3
+            out = np.zeros(uu.shape + (3,), np.float32)
+            out[..., axis] = p0[axis] + vv * length
+            out[..., a1] = p0[a1] + rad * np.cos(ang)
+            out[..., a2] = p0[a2] + rad * np.sin(ang)
+            return out
+        return _param_patch(f, seg, 4 * seg, mat=mat)
+
+    for _ in range(n_pipes):
+        axis = rng.randint(3)
+        p0 = rng.uniform(0, W, 3)
+        p0[axis] = rng.uniform(0, W * 0.3)
+        length = rng.uniform(W * 0.3, W * 0.7)
+        rad = rng.uniform(0.4, 1.6)
+        add(*pipe(p0, axis, length, rad, mat=rng.randint(2)))
+
+    n_boilers = 12
+    boiler_tris = int(target_tris * 0.25) // n_boilers
+    bs = max(int(np.sqrt(boiler_tris / 8)), 8)
+    for _ in range(n_boilers):
+        p0 = rng.uniform(W * 0.1, W * 0.9, 3)
+        p0[1] = 0.0
+        h = rng.uniform(W * 0.2, W * 0.5)
+        rad = rng.uniform(6.0, 14.0)
+
+        def boiler(uu, vv, p0=p0, h=h, rad=rad):
+            ang = 2 * np.pi * uu
+            out = np.zeros(uu.shape + (3,), np.float32)
+            out[..., 0] = p0[0] + rad * np.cos(ang)
+            out[..., 1] = vv * h
+            out[..., 2] = p0[2] + rad * np.sin(ang)
+            return out
+
+        add(*_param_patch(boiler, 2 * bs, bs, mat=2))
+
+    verts = np.concatenate(all_v)
+    idx = np.concatenate(all_i)
+    return verts, idx.reshape(-1)
+
+
+def powerplant_primary_rays(width=1024, height=1024):
+    """Wide establishing shot across the plant."""
+    eye = np.asarray([-30.0, 60.0, -30.0], np.float32)
+    target = np.asarray([100.0, 20.0, 100.0], np.float32)
+    return _pinhole(eye, target - eye, width, height, fov=55.0)
+
+
+def _pinhole(eye, dirv, width, height, fov=60.0):
+    d = (dirv / np.linalg.norm(dirv)).astype(np.float32)
+    up = np.asarray([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(d, up)
+    right /= np.linalg.norm(right)
+    u2 = np.cross(right, d)
+    scale = np.tan(np.radians(fov) / 2)
+    xs = (np.arange(width) + 0.5) / width * 2 - 1
+    ys = 1 - (np.arange(height) + 0.5) / height * 2
+    kx, ky = np.meshgrid(xs, ys)
+    dirs = (d[None, None] + kx[..., None] * scale * right[None, None]
+            + ky[..., None] * (scale * height / width) * u2[None, None])
+    dirs = dirs.reshape(-1, 3).astype(np.float32)
+    org = np.tile(np.asarray(eye, np.float32)[None], (len(dirs), 1))
+    return org, dirs
+
+
+SCENES = {
+    "hall": (make_hall, hall_primary_rays),
+    "crown": (make_crown, crown_primary_rays),
+    "powerplant": (make_powerplant, powerplant_primary_rays),
+}
