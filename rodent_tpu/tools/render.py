@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--sharded", action="store_true",
                    help="render over all devices (image-plane sharding)")
+    p.add_argument("--debug", action="store_true",
+                   help="eye-light debug renderer (make_debug_renderer, "
+                        "renderer.impala:42-60): no NEE/bounces, spp 1")
     p.add_argument("--no-packet", action="store_true",
                    help="disable the Pallas packet traversal (used by "
                         "default when the BVH fits in VMEM)")
@@ -70,7 +73,13 @@ def main(argv=None):
                       args.width, args.height)
     film = film_mod.new_film(args.width, args.height)
 
-    if args.sharded:
+    if args.debug:
+        from ..render.integrator import render_debug
+        args.spp = 1
+        step = lambda f, i: render_debug(
+            scene.device, cam, f, args.width, args.height, i,
+            packet=(packet is True))
+    elif args.sharded:
         from ..parallel import make_mesh, render_iteration_sharded
         mesh = make_mesh()
         step = lambda f, i: render_iteration_sharded(
