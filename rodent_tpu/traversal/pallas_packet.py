@@ -54,7 +54,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
             *rest, arity, m, any_hit, stack_size,
             node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False,
-            count_pops=False):
+            count_pops=False, ablate=()):
     if count_pops:
         cnt_ref, stack_ref, cnt_sm = rest
     else:
@@ -114,6 +114,10 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         # rows are packed two-per-128-lane line (VMEM pads the last dim
         # to 128 lanes, so 56-wide rows would waste 2.3x VMEM)
         rd, rdi = load_row(nodes_ref, code - 1, node_rpl)
+        if "nonodetest" in ablate:  # ablation: skip the vector slab
+            # tests — push every child unsorted (correct hits, inflated
+            # pop count; ns/pop isolates the slab-test vector cost)
+            return [rdi(6 * arity + c) for c in range(arity)]
         parts = []
         childs = []
         for c in range(arity):
@@ -179,6 +183,12 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     def leaf_step(code, carry):
         t_cur, u_b, v_b, p_b, g_b = carry
         rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+        if "noleaftest" in ablate:  # ablation: skip the vector MT tests
+            # (wrong hits: misses everything; same pop schedule only for
+            # workloads whose t_cur pruning doesn't change the node walk)
+            cont_code = jnp.where(rdi(12 * m + m - 1) < 0, jnp.int32(0),
+                                  code - 1)
+            return carry, cont_code
         is_last = jnp.int32(0)
         for lane in range(m):
             v0 = [rd(k * m + lane) for k in range(3)]
@@ -345,7 +355,7 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
 
 def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                     interpret=False, pops=POPS,
-                    scalar_reads=SCALAR_READS):
+                    scalar_reads=SCALAR_READS, ablate=()):
     """Packet-kernel traversal; same contract as api.traverse.
     Requires the BVH to fit in VMEM (~100 MB with the raised limit)."""
     B = rays["org"].shape[0]
@@ -366,7 +376,7 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     packed = jnp.stack(comp).reshape(11, nt * tile_rows, 128)
 
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
-                        pops, scalar_reads)
+                        pops, scalar_reads, ablate=ablate)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -387,7 +397,8 @@ def _pack_rows(table, force_single=False):
 
 
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
-                 pops=POPS, scalar_reads=SCALAR_READS, count_pops=False):
+                 pops=POPS, scalar_reads=SCALAR_READS, count_pops=False,
+                 ablate=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -413,7 +424,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                              stack_size=stack_size,
                              node_rpl=node_rpl, tri_rpl=tri_rpl, pops=pops,
                              scalar_reads=scalar_reads,
-                             count_pops=count_pops)
+                             count_pops=count_pops, ablate=tuple(ablate))
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),

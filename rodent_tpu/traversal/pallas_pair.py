@@ -111,20 +111,27 @@ def pack_tables(nodes, tris):
     return out_n, out_t
 
 
-def _kernel(*refs, any_hit, stack_size, streams, count_pops):
+def _kernel(*refs, any_hit, stack_size, streams, count_pops,
+            ablate=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    S = streams
     if count_pops:
         (rays_ref, nodes_ref, tris_ref, sel_ref, nmask_ref, tmask_ref,
-         t_ref, u_ref, v_ref, prim_ref, geom_ref, cout_ref,
-         stk_ref, cnt_ref, csm_ref) = refs
+         t_ref, u_ref, v_ref, prim_ref, geom_ref, cout_ref) = refs[:12]
+        rest = refs[12:]
+        csm_ref = rest[2 * S]
     else:
         (rays_ref, nodes_ref, tris_ref, sel_ref, nmask_ref, tmask_ref,
-         t_ref, u_ref, v_ref, prim_ref, geom_ref,
-         stk_ref, cnt_ref) = refs
-
-    S = streams
+         t_ref, u_ref, v_ref, prim_ref, geom_ref) = refs[:11]
+        rest = refs[11:]
+    # one stack/count ref PER STREAM: a single shared ref would make
+    # every stream's dynamic-index load order against every other
+    # stream's store (no alias analysis on dynamic indices), chaining
+    # the S supposedly-independent latency chains through memory fences
+    stk_refs = rest[:S]
+    cnt_refs = rest[S:2 * S]
     P = rays_ref.shape[1] // S           # pair rows per stream
     ray_s = []
     for s in range(S):
@@ -151,6 +158,13 @@ def _kernel(*refs, any_hit, stack_size, streams, count_pops):
         # would otherwise poison every output via 0 * inf = NaN
         lhs = jnp.where(mask > 0.5, jnp.broadcast_to(row, mask.shape),
                         0.0)
+        if "nomatmul" in ablate:   # ablation: wrong values, same shapes
+            return lhs
+        if "fastmatmul" in ablate:  # ablation: one bf16 pass (lossy)
+            return jax.lax.dot_general(
+                lhs, sel, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
         return jax.lax.dot_general(
             lhs, sel, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -256,9 +270,8 @@ def _kernel(*refs, any_hit, stack_size, streams, count_pops):
             jnp.where(iota128 == 120, jnp.int32(1), jnp.int32(0)),
             jnp.float32))
     for s in range(S):
-        base = s * stack_size
-        stk_ref[base * 8:base * 8 + 8, :] = root_entry
-        cnt_ref[base] = jnp.int32(1)
+        stk_refs[s][0:8, :] = root_entry
+        cnt_refs[s][0] = jnp.int32(1)
     if count_pops:
         csm_ref[0] = jnp.int32(0)
 
@@ -304,19 +317,24 @@ def _kernel(*refs, any_hit, stack_size, streams, count_pops):
                    for s in range(S)]
 
         for s in range(S):
-            base = s * stack_size
+            stk_ref = stk_refs[s]
+            cnt_ref = cnt_refs[s]
             sp = sps[s]
             alive = sp > 0
             if any_hit:
                 alive = alive & jnp.logical_not(dones[s])
-            top = base + jnp.maximum(sp, 1) - 1
+            top = jnp.maximum(sp, 1) - 1
 
             # ---- pop-consume the nearest remaining child ----
             ent = stk_ref[pl.ds(top * 8, 8), :]
             kr = ent[0:1]
             nr = ent[1:2]
-            minv = jnp.min(kr, axis=1, keepdims=True)
-            lane = jnp.min(jnp.where(kr <= minv, iota128, 128))
+            if "nosort" in ablate:
+                # first valid lane instead of nearest (1 fewer reduce)
+                lane = jnp.min(jnp.where(kr < INFV, iota128, 128))
+            else:
+                minv = jnp.min(kr, axis=1, keepdims=True)
+                lane = jnp.min(jnp.where(kr <= minv, iota128, 128))
             cslot = jnp.minimum(lane // GROUP, 7)
             nri = jax.lax.bitcast_convert_type(nr, jnp.int32)
             code = pltpu.roll(nri, 8 - cslot, axis=1)[0, 0]
@@ -325,23 +343,30 @@ def _kernel(*refs, any_hit, stack_size, streams, count_pops):
                 csm_ref[0] = csm_ref[0] + (code != 0).astype(jnp.int32)
             rem = cnt_ref[top] - 1
             kr2 = jnp.where(alive & (iota128 == lane), INFV, kr)
-            stk_ref[pl.ds(top * 8, 8), :] = jnp.where(
-                rowio == 0, jnp.broadcast_to(kr2, (8, 128)), ent)
+            if "nostrip" not in ablate:
+                stk_ref[pl.ds(top * 8, 8), :] = jnp.where(
+                    rowio == 0, jnp.broadcast_to(kr2, (8, 128)), ent)
             cnt_ref[top] = jnp.where(alive, rem, rem + 1)
             sp = jnp.where(alive & (rem <= 0), sp - 1, sp)
 
             # ---- node path (masked out unless code > 0) ----
             t_cur = carries[s][0]
-            krow, nrow = node_step(s, jnp.maximum(code, 1), t_cur)
-            krow = jnp.where(code > 0, krow, INFV)
+            if "nonode" in ablate:
+                krow, nrow = jnp.full((1, 128), INFV), nr
+            else:
+                krow, nrow = node_step(s, jnp.maximum(code, 1), t_cur)
+                krow = jnp.where(code > 0, krow, INFV)
 
             # ---- leaf path (selected only when code < 0) ----
-            lcarry, is_last = leaf_fold(s, jnp.minimum(code, -1),
-                                        tuple(carries[s]))
             is_leaf = code < 0
-            for k in range(5):
-                carries[s][k] = jnp.where(is_leaf, lcarry[k],
-                                          carries[s][k])
+            if "noleaf" in ablate:
+                is_last = jnp.bool_(True)
+            else:
+                lcarry, is_last = leaf_fold(s, jnp.minimum(code, -1),
+                                            tuple(carries[s]))
+                for k in range(5):
+                    carries[s][k] = jnp.where(is_leaf, lcarry[k],
+                                              carries[s][k])
 
             # ---- one push: node children or the leaf continuation ----
             nhit = jnp.sum((krow < INFV).astype(jnp.int32))
@@ -354,7 +379,7 @@ def _kernel(*refs, any_hit, stack_size, streams, count_pops):
             cont_krow = jnp.where(iota128 == 0, jnp.float32(0.0), INFV)
             ekrow = jnp.where(node_push, krow, cont_krow)
             enrow = jnp.where(node_push, nrow, cont_nrow)
-            idx = base + jnp.where(do, sp, stack_size - 1)
+            idx = jnp.where(do, sp, stack_size - 1)
             stk_ref[pl.ds(idx * 8, 8), :] = make_entry(ekrow, enrow)
             cnt_ref[idx] = jnp.where(node_push, nhit, 1)
             sps[s] = jnp.where(do, sp + 1, sp)
@@ -401,7 +426,8 @@ def _unpair(x, n):
 
 
 def traverse_pair(dev, rays, any_hit=False, tile_rays=TILE_RAYS,
-                  streams=STREAMS, interpret=False, count_pops=False):
+                  streams=STREAMS, interpret=False, count_pops=False,
+                  ablate=()):
     """Pair-kernel traversal; same contract as api.traverse. The device
     dict must carry pair tables (bvh_to_device adds them for
     arity=8/Tri8 BVHs)."""
@@ -411,7 +437,7 @@ def traverse_pair(dev, rays, any_hit=False, tile_rays=TILE_RAYS,
     comp += [rays["dir"][:, i] for i in range(3)]
     comp += [rays["tmin"], rays["tmax"]]
     outs = _run(dev, comp, B, any_hit, tile_rays, streams, interpret,
-                count_pops)
+                count_pops, ablate)
     t, u, v, p, g = outs[:5]
     t = jnp.where(p < 0, rays["tmax"], t)
     res = {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -439,7 +465,7 @@ def traverse_pair_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
 
 
 def _run(dev, comp, B, any_hit, tile_rays, streams, interpret,
-         count_pops):
+         count_pops, ablate=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from .api import BvhMeta
@@ -467,7 +493,7 @@ def _run(dev, comp, B, any_hit, tile_rays, streams, interpret,
 
     kern = functools.partial(_kernel, any_hit=any_hit,
                              stack_size=stack_size, streams=streams,
-                             count_pops=count_pops)
+                             count_pops=count_pops, ablate=tuple(ablate))
 
     out_shapes = [jax.ShapeDtypeStruct((nt * P, 128), jnp.float32)
                   for _ in range(5)]
@@ -495,9 +521,10 @@ def _run(dev, comp, B, any_hit, tile_rays, streams, interpret,
                   full(pair_nodes), full(pair_tris),
                   full(sel), full(nmask), full(tmask)],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((streams * stack_size * 8, 128),
-                                   jnp.float32),
-                        pltpu.SMEM((streams * stack_size,), jnp.int32)]
+        scratch_shapes=[pltpu.VMEM((stack_size * 8, 128), jnp.float32)
+                        for _ in range(streams)]
+        + [pltpu.SMEM((stack_size,), jnp.int32)
+           for _ in range(streams)]
         + ([pltpu.SMEM((1,), jnp.int32)] if count_pops else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
