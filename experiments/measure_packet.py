@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--tris", type=int, default=260_000)
     ap.add_argument("--rows", default="16,32,64,96")
     ap.add_argument("--rays", type=int, default=1024 * 1024)
+    ap.add_argument("--frustum", action="store_true")
+    ap.add_argument("--dists", default="primary,ao,bounces")
     args = ap.parse_args()
 
     import jax
@@ -59,8 +61,12 @@ def main():
     fnrm = np.cross(v0 - v1, v2 - v0)
     fnrm = np.where((fnrm * dirs).sum(1, keepdims=True) > 0, -fnrm, fnrm)
 
-    dists = {"primary": (prim_s, False)}
+    dists = {}
+    if "primary" in args.dists:
+        dists["primary"] = (prim_s, False)
     for kind, any_hit in (("ao", True), ("bounces", False)):
+        if kind not in args.dists:
+            continue
         o2, d2, tmax2 = hall_secondary_rays(kind, hp, fnrm)
         rays2 = make_rays(jnp.asarray(o2), jnp.asarray(d2),
                           jnp.full(n, 1e-3, jnp.float32),
@@ -75,7 +81,8 @@ def main():
         for rows in rows_list:
             fn = jax.jit(lambda r, ah=any_hit, tr=rows:
                          pp.traverse_packet(dev, r, any_hit=ah,
-                                            tile_rows=tr))
+                                            tile_rows=tr,
+                                            frustum=args.frustum))
             out = fn(rays)
             jax.block_until_ready(out["t"])
             iters = 3
@@ -101,7 +108,8 @@ def main():
                     for ci, c in enumerate(comp)]
             packed = jnp.stack(comp).reshape(11, nt * rows, 128)
             outs = pp._call_kernel(dev, packed, nt, rows, any_hit,
-                                   False, count_pops=True)
+                                   False, count_pops=True,
+                                   frustum=args.frustum)
             cnt = np.asarray(outs[5])[::8, 0]
             total_pops = int(cnt.sum())
             ns_pop = dt / total_pops * 1e9

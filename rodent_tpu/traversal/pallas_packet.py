@@ -47,6 +47,7 @@ TILE_ROWS = 64           # rays per tile = TILE_ROWS * 128
 STACK = 64
 POPS = 1        # stack entries retired per loop iteration (see _kernel)
 SCALAR_READS = False  # direct scalar VMEM loads (1 row/line) vs row loads
+FRUSTUM = False  # row-frustum node tests (conservative, ~5x fewer ops)
 _F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
 
 
@@ -54,7 +55,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
             *rest, arity, m, any_hit, stack_size,
             node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False,
-            count_pops=False, ablate=()):
+            count_pops=False, ablate=(), frustum=False):
     if count_pops:
         cnt_ref, stack_ref, cnt_sm = rest
     else:
@@ -109,6 +110,71 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     neg = [jnp.min((inv_d[k] < 0.0).astype(jnp.int32)) == 1
            for k in range(3)]
     tile_pure = (pos[0] | neg[0]) & (pos[1] | neg[1]) & (pos[2] | neg[2])
+
+    # ---- row-frustum precompute (pure tiles) ----
+    # The kernel is vector-ISSUE-bound (measured: ~3.5 ns per (R,128)
+    # op; a full per-ray x per-child slab test is ~176 ops = ~620 ns of
+    # the ~1.5 us/pop). The frustum path tests each child against 128-ray
+    # ROW INTERVALS instead (child dim in lanes), which is conservative
+    # (a superset of the per-ray any-hit push set, so hits stay exact —
+    # leaves do the exact test) but ~5x fewer vector ops. Sign-mirrored
+    # coordinates make all three axes positive-direction:
+    #   org' = sign*org, inv' = |inv_d|, bounds' = sign-swapped.
+    if frustum:
+        o2 = [jnp.where(pos[k], org[k], -org[k]) for k in range(3)]
+        i2 = [jnp.abs(inv_d[k]) for k in range(3)]
+        o2_lo = [jnp.min(o2[k], axis=1, keepdims=True) for k in range(3)]
+        o2_hi = [jnp.max(o2[k], axis=1, keepdims=True) for k in range(3)]
+        i2_lo = [jnp.min(i2[k], axis=1, keepdims=True) for k in range(3)]
+        i2_hi = [jnp.max(i2[k], axis=1, keepdims=True) for k in range(3)]
+        tmin_row = jnp.min(tmin, axis=1, keepdims=True)
+
+    def node_step_frustum(code, t_cur):
+        """Conservative child test: (row-frustum x child) interval slab
+        test, lanes = children. Returns childs (scalar list) with the
+        same contract as node_step."""
+        if node_rpl == 1:
+            row = nodes_ref[pl.ds(code - 1, 1), :]
+        else:
+            row = nodes_ref[pl.ds((code - 1) // 2, 1), :]
+            row = pltpu.roll(row, -((code - 1) % 2) * 64, axis=1)
+        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+        t_ub = jnp.max(t_cur, axis=1, keepdims=True)       # (R, 1)
+        ent = None
+        ext = None
+        for k in range(3):
+            lo = pltpu.roll(row, (128 - 16 * k) % 128, axis=1)  # lanes 0-7
+            hi = pltpu.roll(row, 128 - 16 * k - 8, axis=1)
+            b_n = jnp.where(pos[k], lo, -hi)               # (1, 128)
+            b_f = jnp.where(pos[k], hi, -lo)
+            a = b_n - o2_hi[k]                             # (R, 128)
+            e_k = a * jnp.where(a >= 0.0, i2_lo[k], i2_hi[k])
+            b = b_f - o2_lo[k]
+            x_k = b * jnp.where(b >= 0.0, i2_hi[k], i2_lo[k])
+            ent = e_k if ent is None else jnp.maximum(ent, e_k)
+            ext = x_k if ext is None else jnp.minimum(ext, x_k)
+        ent = jnp.maximum(ent, tmin_row)
+        ext = jnp.minimum(ext, t_ub)
+        # per-child key: min over row-frusta of the conservative entry
+        keys8v = jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
+                         axis=0, keepdims=True)            # (1, 128)
+        keys = []
+        childs = []
+        for c in range(arity):
+            key = keys8v[0, c]
+            child = row_i[0, 6 * arity + c]
+            valid = (child != 0) & (key < _F32_MAX)
+            keys.append(jnp.where(valid, key, _F32_MAX))
+            childs.append(jnp.where(valid, child, 0))
+        if not any_hit:
+            for i, j in _SORT_NETWORKS[arity]:
+                swap = keys[i] > keys[j]
+                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                                    jnp.where(swap, keys[i], keys[j]))
+                childs[i], childs[j] = (
+                    jnp.where(swap, childs[j], childs[i]),
+                    jnp.where(swap, childs[i], childs[j]))
+        return childs
 
     def node_step(code, t_cur, pure):
         # rows are packed two-per-128-lane line (VMEM pads the last dim
@@ -258,7 +324,16 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         all_pushes = []
         for code in codes:
             def do_node(_, carry=carry, code=code):
+                if "nopure" in ablate:
+                    # ablation: drop the pure/mixed inner cond entirely
+                    # (unordered slab test for every tile) — tests whether
+                    # the nested big-branch cond costs more in spills than
+                    # the ordered test saves in flops
+                    return carry + tuple(node_step(code, carry[0], False))
+
                 def pure_body(_):
+                    if frustum:
+                        return node_step_frustum(code, carry[0])
                     return node_step(code, carry[0], True)
 
                 def mixed_body(_):
@@ -328,7 +403,8 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                                any_hit=False, tile_rows=TILE_ROWS,
                                interpret=False, pops=POPS,
-                               scalar_reads=SCALAR_READS):
+                               scalar_reads=SCALAR_READS,
+                               frustum=FRUSTUM):
     """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
     hit dict of (R, 128) arrays out (integrator-facing; dead rays =
     tmax < tmin)."""
@@ -347,15 +423,16 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     comp += [prep(tmin), prep(tmax, fill=-1.0)]
     packed = jnp.stack(comp)
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
-                        pops, scalar_reads)
-    t, u, v, p, g = [o[:R] for o in outs]
+                        pops, scalar_reads, frustum=frustum)
+    t, u, v, p, g = [o[:R] for o in outs[:5]]
     t = jnp.where(p < 0, tmax, t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
 
 
 def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                     interpret=False, pops=POPS,
-                    scalar_reads=SCALAR_READS, ablate=()):
+                    scalar_reads=SCALAR_READS, ablate=(),
+                    frustum=FRUSTUM):
     """Packet-kernel traversal; same contract as api.traverse.
     Requires the BVH to fit in VMEM (~100 MB with the raised limit)."""
     B = rays["org"].shape[0]
@@ -376,8 +453,9 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     packed = jnp.stack(comp).reshape(11, nt * tile_rows, 128)
 
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
-                        pops, scalar_reads, ablate=ablate)
-    t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs]
+                        pops, scalar_reads, ablate=ablate,
+                        frustum=frustum)
+    t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
 
@@ -398,7 +476,7 @@ def _pack_rows(table, force_single=False):
 
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                  pops=POPS, scalar_reads=SCALAR_READS, count_pops=False,
-                 ablate=()):
+                 ablate=(), frustum=FRUSTUM):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -424,7 +502,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                              stack_size=stack_size,
                              node_rpl=node_rpl, tri_rpl=tri_rpl, pops=pops,
                              scalar_reads=scalar_reads,
-                             count_pops=count_pops, ablate=tuple(ablate))
+                             count_pops=count_pops, ablate=tuple(ablate),
+                             frustum=frustum)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),

@@ -22,6 +22,7 @@ node set per tile.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -48,22 +49,34 @@ def _morton10(x):
 
 
 def ray_sort_keys(org, d, scene_lo, scene_hi):
-    """Sort key = octant (high bits) then Morton code of the origin:
-    rays pointing the same way from nearby points traverse similar
-    subtrees."""
+    """Sort key = octant (3 high bits), then origin Morton (15 bits,
+    32^3 grid), then direction Morton (14 bits). The direction bits make
+    same-origin rays (e.g. pinhole camera primaries, point-light shadow
+    rays) sort into compact CONES instead of keeping their original
+    scanline order — a 128-ray group then spans a small solid angle,
+    which tightens packet-kernel tile unions and row-frustum bounds."""
     if not isinstance(org, tuple):
         org = (org[:, 0], org[:, 1], org[:, 2])
+    if not isinstance(d, tuple):
+        dt = (d[:, 0], d[:, 1], d[:, 2])
+    else:
+        dt = d
     lo = jnp.asarray(scene_lo, jnp.float32)
     hi = jnp.asarray(scene_hi, jnp.float32)
     q = []
     for i in range(3):
         t = (org[i] - lo[i]) / jnp.maximum(hi[i] - lo[i], 1e-30)
-        q.append(jnp.clip(t * 1024.0, 0, 1023).astype(jnp.uint32))
-    morton = (_morton10(q[0]) | (_morton10(q[1]) << 1)
-              | (_morton10(q[2]) << 2))
-    oct_ = ray_octant(d).astype(jnp.uint32)
-    # octant in the top 3 bits, morton in the low 28 (uint32-safe)
-    return (oct_ << 28) | ((morton >> 2) & jnp.uint32(0x0FFFFFFF))
+        q.append(jnp.clip(t * 32.0, 0, 31).astype(jnp.uint32))
+    org_m = (_morton10(q[0]) | (_morton10(q[1]) << 1)
+             | (_morton10(q[2]) << 2))               # 15 bits
+    inv_len = jax.lax.rsqrt(dt[0] * dt[0] + dt[1] * dt[1]
+                            + dt[2] * dt[2] + 1e-30)
+    qd = [jnp.clip((dt[i] * inv_len * 0.5 + 0.5) * 32.0, 0,
+                   31).astype(jnp.uint32) for i in range(3)]
+    dir_m = (_morton10(qd[0]) | (_morton10(qd[1]) << 1)
+             | (_morton10(qd[2]) << 2))              # 15 bits
+    oct_ = ray_octant(dt).astype(jnp.uint32)
+    return (oct_ << 29) | (org_m << 14) | (dir_m >> 1)
 
 
 def sort_rays(rays, scene_lo, scene_hi):
