@@ -30,11 +30,14 @@ prim = make_rays(jnp.asarray(org), jnp.asarray(dirs),
                  jnp.full(n, 3.402823466e38, jnp.float32))
 rays, _ = sort_rays(prim, verts.min(0), verts.max(0))
 
+import sys
 CASES = [(), ("nonodetest",), ("noleaftest",),
          ("nonodetest", "noleaftest")]
+if len(sys.argv) > 1:
+    CASES = [tuple(x.split(",")) if x else () for x in sys.argv[1:]]
 for ab in CASES:
     fn = jax.jit(lambda r, ab=ab: pp.traverse_packet(
-        dev, r, tile_rows=64, ablate=ab))
+        dev, r, tile_rows=32, ablate=ab))
     out = fn(rays)
     jax.block_until_ready(out["t"])
     t0 = time.perf_counter()
@@ -47,14 +50,14 @@ for ab in CASES:
     packed = None
     from rodent_tpu.traversal.pallas_packet import _call_kernel
     B = n
-    tile = 64 * 128
+    tile = 32 * 128
     nt = -(-B // tile)
     comp = [rays["inv_dir"][:, i] for i in range(3)]
     comp += [rays["org"][:, i] for i in range(3)]
     comp += [rays["dir"][:, i] for i in range(3)]
     comp += [rays["tmin"], rays["tmax"]]
-    packed = jnp.stack(comp).reshape(11, nt * 64, 128)
-    outs = _call_kernel(dev, packed, nt, 64, False, False,
+    packed = jnp.stack(comp).reshape(11, nt * 32, 128)
+    outs = _call_kernel(dev, packed, nt, 32, False, False,
                         count_pops=True, ablate=ab)
     cnt = np.asarray(outs[5])[::8, 0]      # one per tile
     tot = int(cnt.sum())

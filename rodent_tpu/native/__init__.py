@@ -25,7 +25,8 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    srcs = [os.path.join(_DIR, s) for s in ("lz4.cpp", "bvh_builder.cpp")]
+    srcs = [os.path.join(_DIR, s)
+            for s in ("lz4.cpp", "bvh_builder.cpp", "obj_loader.cpp")]
     if (not os.path.exists(_LIB_PATH)
             or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
                    for s in srcs)):
@@ -64,6 +65,17 @@ def _load():
         ctypes.POINTER(ctypes.c_int32)] * 2
     lib.rt_bvh_free.restype = None
     lib.rt_bvh_free.argtypes = [ctypes.c_void_p]
+    lib.rt_obj_load.restype = ctypes.c_void_p
+    lib.rt_obj_load.argtypes = [ctypes.c_char_p]
+    lib.rt_obj_counts.restype = None
+    lib.rt_obj_counts.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_longlong)]
+    lib.rt_obj_copy.restype = None
+    lib.rt_obj_copy.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_float)] * 4 + [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p]
+    lib.rt_obj_free.restype = None
+    lib.rt_obj_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -134,3 +146,40 @@ def bvh_build(vertices, indices4, arity=8, packet=4, leaf_threshold=4,
     finally:
         lib.rt_bvh_free(h)
     return bounds, child, tv0, te1, te2, tn, pid, gid
+
+
+def obj_load(path):
+    """Native OBJ load (obj.cpp role): returns (vertices (V,3) f32,
+    normals (V,3), texcoords (V,2), face_normals (T,3), indices (T*4,)
+    i32, material names list, mtl lib list) or None if the library is
+    absent or the file cannot be read."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.rt_obj_load(os.fsencode(path))
+    if not h:
+        return None
+    try:
+        cnt = (ctypes.c_longlong * 5)()
+        lib.rt_obj_counts(h, cnt)
+        nv, nt, nmat, nlibs, sbytes = [int(x) for x in cnt]
+        verts = np.empty((nv, 3), np.float32)
+        norms = np.empty((nv, 3), np.float32)
+        texs = np.empty((nv, 2), np.float32)
+        fnorm = np.empty((nt, 3), np.float32)
+        idx = np.empty((nt * 4,), np.int32)
+        sbuf = ctypes.create_string_buffer(max(sbytes, 1))
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.rt_obj_copy(h, verts.ctypes.data_as(f32p),
+                        norms.ctypes.data_as(f32p),
+                        texs.ctypes.data_as(f32p),
+                        fnorm.ctypes.data_as(f32p),
+                        idx.ctypes.data_as(i32p), sbuf)
+    finally:
+        lib.rt_obj_free(h)
+    parts = sbuf.raw[:sbytes].split(b"\0")
+    names = [p.decode("utf-8", "replace") for p in parts[:nmat]]
+    libs = [p.decode("utf-8", "replace")
+            for p in parts[nmat:nmat + nlibs]]
+    return verts, norms, texs, fnorm, idx, names, libs

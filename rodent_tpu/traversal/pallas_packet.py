@@ -166,7 +166,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             valid = (child != 0) & (key < _F32_MAX)
             keys.append(jnp.where(valid, key, _F32_MAX))
             childs.append(jnp.where(valid, child, 0))
-        if not any_hit:
+        if not any_hit and "nosort" not in ablate:
             for i, j in _SORT_NETWORKS[arity]:
                 swap = keys[i] > keys[j]
                 keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
@@ -234,7 +234,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             keys.append(jnp.where(valid, key, _F32_MAX))
             childs[c] = jnp.where(valid, childs[c], 0)
 
-        if not any_hit:
+        if not any_hit and "nosort" not in ablate:
             for i, j in _SORT_NETWORKS[arity]:
                 swap = keys[i] > keys[j]
                 keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
