@@ -33,17 +33,24 @@ import numpy as np
 
 from .tiled import _SORT_NETWORKS
 
-TILE_ROWS = 64           # rays per tile = TILE_ROWS * 128
-# measured on the hall-260K primary workload (1M sorted rays, v5e, Tri8
-# leaf packets + SBVH lt=12): tile_rows 48: 36.4 | 64: 36.8 | 96: 32.2 |
-# 128: 28.2 | 192: 21.3 Mrays/s — bigger tiles amortize the per-pop
-# serial floor until union-divergence (wasted lane work) takes over.
+TILE_ROWS = 32           # rays per tile = TILE_ROWS * 128
+# measured on the hall-260K primary workload (1M cone-sorted rays, v5e,
+# Tri8 leaf packets + SBVH lt=12): rows 16: 50.7 | 32: 55.4 | 48: 49.1 |
+# 64: 49.5 Mrays/s. Cost model (fit from the sweep): per-pop =
+# ~600 ns fixed + ~18.6 ns x rows; pops/tile 44/62/78/92. The fixed part
+# is the pop's own code (scalar+small-vector VLIW packing), NOT extracts,
+# sort, branches, or overlappable latency — all probed individually
+# (experiments/probe_*.py, ablate_packet.py; see ROADMAP).
 # Round-2 kernel history on this workload: 24.5 (round-1 kernel, SBVH
 # tree) -> 30.0 (Tri8 leaf packets, leaf_threshold 12) -> 36.2 (one
 # shared cross-lane key reduction instead of 8 per-child full reduces)
-# -> 36.8 (octant-pure tile specialization). Rejected by measurement:
-# pops>1 per iteration (out-of-order expansion inflates work), direct
-# scalar VMEM reads (no effect)
+# -> 36.8 (octant-pure tile specialization) -> 49.5 (cone-aware ray
+# sort) -> 55.4 (tile_rows 64 -> 32 re-sweep under the new sort).
+# Rejected by measurement: pops>1 sequential AND phased (out-of-order
+# expansion/stash overhead), direct scalar VMEM reads (no effect),
+# row-frustum node tests (conservative push-set inflation 2.7x),
+# deferred hit attributes (XLA gather post-pass ~290 ms), stream
+# interleaving (chains do not overlap)
 STACK = 64
 POPS = 1        # stack entries retired per loop iteration (see _kernel)
 SCALAR_READS = False  # direct scalar VMEM loads (1 row/line) vs row loads
@@ -246,6 +253,55 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         # entries are processed so the per-entry reductions overlap
         return childs
 
+    def node_vec(code, t_cur, pure):
+        """Issue-only phase of node_step for the phased (pops>1) body:
+        same slab tests, but returns the un-reduced per-child key parts
+        (A, 128) plus the raw int row — reduction, extraction, sorting
+        and pushing happen in phase 2 so several pops' latency chains
+        overlap."""
+        if node_rpl == 1:
+            row = nodes_ref[pl.ds(code - 1, 1), :]
+        else:
+            row = nodes_ref[pl.ds((code - 1) // 2, 1), :]
+            row = pltpu.roll(row, -((code - 1) % 2) * 64, axis=1)
+        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+
+        def rd(j):
+            return row[0, j]
+        parts = []
+        for c in range(arity):
+            if pure:
+                bs = [jnp.where(pos[k], rd((2 * k) * arity + c),
+                                rd((2 * k + 1) * arity + c))
+                      for k in range(3)]
+                bf = [jnp.where(pos[k], rd((2 * k + 1) * arity + c),
+                                rd((2 * k) * arity + c))
+                      for k in range(3)]
+                ent = jnp.maximum(
+                    jnp.maximum((bs[0] - org[0]) * inv_d[0],
+                                (bs[1] - org[1]) * inv_d[1]),
+                    jnp.maximum((bs[2] - org[2]) * inv_d[2], tmin))
+                ext = jnp.minimum(
+                    jnp.minimum((bf[0] - org[0]) * inv_d[0],
+                                (bf[1] - org[1]) * inv_d[1]),
+                    jnp.minimum((bf[2] - org[2]) * inv_d[2], t_cur))
+            else:
+                tx0 = (rd(0 * arity + c) - org[0]) * inv_d[0]
+                tx1 = (rd(1 * arity + c) - org[0]) * inv_d[0]
+                ty0 = (rd(2 * arity + c) - org[1]) * inv_d[1]
+                ty1 = (rd(3 * arity + c) - org[1]) * inv_d[1]
+                tz0 = (rd(4 * arity + c) - org[2]) * inv_d[2]
+                tz1 = (rd(5 * arity + c) - org[2]) * inv_d[2]
+                ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                              jnp.minimum(ty0, ty1)),
+                                  jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+                ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                              jnp.maximum(ty0, ty1)),
+                                  jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
+            parts.append(jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
+                                 axis=0, keepdims=True))
+        return jnp.concatenate(parts, axis=0), row_i
+
     def leaf_step(code, carry):
         t_cur, u_b, v_b, p_b, g_b = carry
         rd, rdi = load_row(tris_ref, ~code, tri_rpl)
@@ -321,6 +377,85 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 
         carry = (t_cur, u_b, v_b, p_b, g_b)
         no_push = [zero] * arity
+
+        if pops > 1:
+            # PHASED expansion: per-pop cost is dominated by the ~600 ns
+            # latency of the pop's dependent chain (row load -> slab ops
+            # -> cross-lane reduce -> key extracts), not by VPU issue
+            # (measured, ROADMAP round-2 session-2). The entries popped
+            # together are already independent, so phase 1 ISSUES every
+            # entry's vector work (stashing un-reduced (A,128) key parts)
+            # and phase 2 does all reductions/extractions/sorts/pushes —
+            # the latency chains fly concurrently instead of back-to-back.
+            # Leaf folds use the pre-iteration carry and min-merge after
+            # (first-wins on ties via strict <, identical to sequential).
+            inf_parts = jnp.full((arity, 128), _F32_MAX, jnp.float32)
+            zrow = jnp.zeros((1, 128), jnp.int32)
+            stash = []
+            for code in codes:
+                def ph_node(_, code=code):
+                    def pb(_):
+                        return node_vec(code, carry[0], True)
+
+                    def mb(_):
+                        return node_vec(code, carry[0], False)
+
+                    parts8, row_i = jax.lax.cond(tile_pure, pb, mb, None)
+                    return carry + (parts8, row_i, zero)
+
+                def ph_other(_, code=code):
+                    def lb(_):
+                        c2, cont = leaf_step(code, carry)
+                        return c2 + (inf_parts, zrow, cont)
+
+                    def sk(_):
+                        return carry + (inf_parts, zrow, zero)
+                    return jax.lax.cond(code < 0, lb, sk, None)
+
+                stash.append(jax.lax.cond(code > 0, ph_node, ph_other,
+                                          None))
+            merged = stash[0][:5]
+            for s_ in stash[1:]:
+                sel = s_[0] < merged[0]
+                merged = tuple(jnp.where(sel, s_[k], merged[k])
+                               for k in range(5))
+            carry = merged
+            all_pushes = []
+            for i, code in enumerate(codes):
+                parts8, row_i, cont = stash[i][5], stash[i][6], stash[i][7]
+                keys2 = jnp.min(parts8, axis=1, keepdims=True)  # (A, 1)
+                keys = []
+                childs = []
+                for cx in range(arity):
+                    key = keys2[cx, 0]
+                    child = row_i[0, 6 * arity + cx]
+                    ok = (child != 0) & (key < _F32_MAX)
+                    keys.append(jnp.where(ok, key, _F32_MAX))
+                    childs.append(jnp.where(ok, child, 0))
+                if not any_hit and "nosort" not in ablate:
+                    for a, b in _SORT_NETWORKS[arity]:
+                        sw = keys[a] > keys[b]
+                        keys[a], keys[b] = (jnp.where(sw, keys[b], keys[a]),
+                                            jnp.where(sw, keys[a], keys[b]))
+                        childs[a], childs[b] = (
+                            jnp.where(sw, childs[b], childs[a]),
+                            jnp.where(sw, childs[a], childs[b]))
+                childs[0] = jnp.where(code < 0, cont, childs[0])
+                all_pushes.append(tuple(childs))
+            for pushes in reversed(all_pushes):
+                for r in range(arity - 1, -1, -1):
+                    ok = pushes[r] != 0
+                    stack_ref[jnp.where(ok, sptr,
+                                        stack_size - 1)] = pushes[r]
+                    sptr = sptr + jnp.where(ok, 1, 0)
+            t2, u2, v2, p2, g2 = carry
+            if any_hit:
+                all_done = jnp.min(jnp.where(
+                    tmax < tmin, 1,
+                    (p2 >= 0).astype(jnp.int32))) > 0
+                return (sptr, all_done, t2, u2, v2, p2, g2)
+            return (sptr, t2, u2, v2, p2, g2)
+
         all_pushes = []
         for code in codes:
             def do_node(_, carry=carry, code=code):
