@@ -1,156 +1,131 @@
-"""Benchmark sweep: scene x distribution x kernel-variant table.
+"""benchmark: the multi-config sweep harness (benchmarks/benchmark.py role).
 
-The reference's benchmarks/benchmark.py drives bench_traversal over
-{sponza, crown, san-miguel, powerplant} x {primary, ao, bounces} x six
-SIMD/BVH-width variants and prints `scene : rays : variant : embree :
-rodent` lines (benchmark.py:38-52). This is the TPU analog: procedural
-stand-in scenes (utils.testscenes — the reference meshes are not
-redistributable), the same three ray distributions generated the same
-way (primary pinhole; ao = short any-hit, bounces = cosine-hemisphere
-from primary hits — tools/ray_gen roles), and the kernel variants that
-exist here:
+The reference's harness runs bench_traversal over scene x ray-distribution
+x kernel-variant and prints one line per config in the format
+`scene : distribution : variant : Mrays` (reference:
+/root/reference/benchmarks/benchmark.py:28-52, results_par.txt). This tool
+reproduces that sweep on the TPU build's procedural scene fixtures
+(sponza-class hall, crown-class, powerplant-class — the real meshes are
+not redistributable) and both traversal engines:
 
-  pair    pair-layout Pallas kernel (v3, traversal.pallas_pair)
-  packet  shared-stack Pallas kernel (v2, traversal.pallas_packet)
-  tiled   pure-XLA dual-queue lockstep loop (traversal.tiled)
+  packet  Pallas shared-stack packet kernel (VMEM-resident BVH)
+  tiled   XLA dual-queue lockstep kernel (HBM path, any scene size)
 
-Output format preserved: `scene : rays : variant : Mrays` (one run, no
-competitor column — api.intersect_bruteforce plays the Embree oracle
-role in the test suite, not in timing).
-
-Usage: python -m rodent_tpu.tools.benchmark [--scenes hall,crown]
-       [--dists primary,ao,bounces] [--variants pair,packet,tiled]
-       [--tris N] [--rays N] [--json out.json]
+Usage:
+  python -m rodent_tpu.tools.benchmark [--scenes hall,crown,powerplant]
+      [--dists primary,ao,bounces] [--variants packet,tiled]
+      [--rays 1048576] [--iters 3] [--sizes hall=260000,...]
 """
 from __future__ import annotations
 
 import argparse
-import json
+import sys
 import time
 
 import numpy as np
 
-
-def secondary_rays(kind, verts, idx, org, dirs, hit, ao_frac=0.05):
-    """ao/bounces distributions from primary hits (tools/ray_gen roles).
-    ao tmax scales with the scene diagonal (benchmark.py's per-scene
-    ao_max offsets)."""
-    from ..utils.testscenes import hall_secondary_rays
-    t = np.asarray(hit["t"])
-    pid = np.asarray(hit["prim_id"])
-    t = np.where(pid >= 0, t, 1.0)
-    hp = org + dirs * t[:, None]
-    i4 = idx.reshape(-1, 4)
-    tri = np.maximum(pid, 0)
-    v0, v1, v2 = verts[i4[tri, 0]], verts[i4[tri, 1]], verts[i4[tri, 2]]
-    fnrm = np.cross(v0 - v1, v2 - v0)
-    fnrm = np.where((fnrm * dirs).sum(1, keepdims=True) > 0, -fnrm, fnrm)
-    diag = float(np.linalg.norm(verts.max(0) - verts.min(0)))
-    return hall_secondary_rays(kind, hp, fnrm, ao_tmax=diag * ao_frac)
-
-
-def secondary_sort_key(org, d, lo, hi):
-    """Origin-major + octant + direction-Morton key — measured best for
-    incoherent distributions on the shared-stack kernels (round-2 sort
-    shootout: 2.1 -> 3.0 Mrays/s on hall bounces)."""
-    import jax.numpy as jnp
-    from ..traversal.sorting import _morton10, ray_octant
-    oct_ = ray_octant(jnp.asarray(d)).astype(jnp.uint32)
-    q = []
-    for i in range(3):
-        t = (org[:, i] - lo[i]) / max(hi[i] - lo[i], 1e-30)
-        q.append(jnp.clip(jnp.asarray(t) * 1024.0, 0,
-                          1023).astype(jnp.uint32))
-    om = (_morton10(q[0]) | (_morton10(q[1]) << 1) | (_morton10(q[2]) << 2))
-    dq = [jnp.clip((jnp.asarray(d[:, i]) + 1) * 512, 0,
-                   1023).astype(jnp.uint32) for i in range(3)]
-    dm = (_morton10(dq[0]) | (_morton10(dq[1]) << 1) | (_morton10(dq[2]) << 2))
-    return ((om >> 21) << 22) | (oct_ << 19) | (dm >> 11)
+_SCENES = {
+    "hall": ("make_hall", "hall_primary_rays", 260_000),
+    "crown": ("make_crown", "crown_primary_rays", 800_000),
+    "powerplant": ("make_powerplant", "powerplant_primary_rays",
+                   2_000_000),
+}
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(
-        description="scene x distribution x variant traversal sweep")
-    ap.add_argument("--scenes", default="hall,crown,powerplant")
-    ap.add_argument("--dists", default="primary,ao,bounces")
-    ap.add_argument("--variants", default="pair,packet,tiled")
-    ap.add_argument("--tris", type=int, default=260_000)
-    ap.add_argument("--rays", type=int, default=1024 * 1024)
-    ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--json", default=None)
-    args = ap.parse_args(argv)
+    p = argparse.ArgumentParser(prog="benchmark")
+    p.add_argument("--scenes", default="hall,crown,powerplant")
+    p.add_argument("--dists", default="primary,ao,bounces")
+    p.add_argument("--variants", default="packet,tiled")
+    p.add_argument("--rays", type=int, default=1024 * 1024)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--sizes", default="",
+                   help="override scene sizes: hall=100000,crown=500000")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ..accel import build_bvh
     from ..traversal.api import bvh_to_device, make_rays
     from ..traversal.pallas_packet import traverse_packet
-    from ..traversal.pallas_pair import traverse_pair
     from ..traversal.tiled import traverse_tiled
     from ..traversal.sorting import sort_rays
-    from ..utils.testscenes import SCENES
+    from ..utils import testscenes
+    from ..utils.testscenes import hall_secondary_rays
 
-    kernels = {
-        "pair": lambda dev, r, ah: traverse_pair(dev, r, any_hit=ah),
+    sizes = {}
+    for tok in args.sizes.split(","):
+        if "=" in tok:
+            k, v = tok.split("=")
+            sizes[k] = int(v)
+
+    side = int(np.sqrt(args.rays))
+    n = side * side
+    variants = args.variants.split(",")
+    engines = {
         "packet": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah),
         "tiled": lambda dev, r, ah: traverse_tiled(dev, r, any_hit=ah),
     }
-    results = []
-    side = int(np.sqrt(args.rays))
-    n = side * side
+
     for scene in args.scenes.split(","):
-        mk, prim_fn = SCENES[scene]
-        verts, idx = mk(args.tris)
-        bvh = build_bvh(verts, idx, arity=8, packet=8)
+        make_name, rays_name, dflt = _SCENES[scene]
+        tris = sizes.get(scene, dflt)
+        verts, idx = getattr(testscenes, make_name)(tris)
+        bvh = build_bvh(verts, idx, arity=8, packet=8, leaf_threshold=12)
         dev = bvh_to_device(bvh)
         lo, hi = verts.min(0), verts.max(0)
-
-        org, dirs = prim_fn(side, side)
+        org, dirs = getattr(testscenes, rays_name)(side, side)
         prim = make_rays(jnp.asarray(org), jnp.asarray(dirs),
                          jnp.zeros(n, jnp.float32),
                          jnp.full(n, 3.402823466e38, jnp.float32))
-        hit_un = kernels["tiled" if "pair" not in args.variants
-                         else "pair"](dev, prim, False)
-        jax.block_until_ready(hit_un["t"])
 
-        dist_rays = {}
+        # hit points for the secondary distributions (ray_gen role)
+        hit = traverse_tiled(dev, prim)
+        t = np.asarray(hit["t"])
+        pid = np.asarray(hit["prim_id"])
+        t = np.where(pid >= 0, t, 1.0)
+        hp = org + dirs * t[:, None]
+        i4 = idx.reshape(-1, 4)
+        tri = np.maximum(pid, 0)
+        v0, v1, v2 = (verts[i4[tri, 0]], verts[i4[tri, 1]],
+                      verts[i4[tri, 2]])
+        fn = np.cross(v0 - v1, v2 - v0)
+        fn = np.where((fn * dirs).sum(1, keepdims=True) > 0, -fn, fn)
+
+        dists = {}
         if "primary" in args.dists:
-            dist_rays["primary"] = (sort_rays(prim, lo, hi)[0], False)
-        for kind in ("ao", "bounces"):
+            dists["primary"] = (prim, False)
+        for kind, ah in (("ao", True), ("bounces", False)):
             if kind not in args.dists:
                 continue
-            o2, d2, tmax2 = secondary_rays(kind, verts, idx, org, dirs,
-                                           hit_un)
-            rays2 = make_rays(jnp.asarray(o2), jnp.asarray(d2),
-                              jnp.full(n, 1e-3, jnp.float32),
-                              jnp.asarray(tmax2))
-            perm = jnp.argsort(secondary_sort_key(o2, d2, lo, hi))
-            dist_rays[kind] = ({k: v[perm] for k, v in rays2.items()},
-                               kind == "ao")
+            o2, d2, tmax2 = hall_secondary_rays(kind, hp, fn)
+            dists[kind] = (make_rays(jnp.asarray(o2), jnp.asarray(d2),
+                                     jnp.full(n, 1e-3, jnp.float32),
+                                     jnp.asarray(tmax2)), ah)
 
-        for dist, (rays, any_hit) in dist_rays.items():
-            for vname in args.variants.split(","):
-                fn = jax.jit(lambda r, k=kernels[vname], ah=any_hit:
-                             k(dev, r, ah))
-                out = fn(rays)
+        for dist, (rays, ah) in dists.items():
+            srt, _ = sort_rays(rays, lo, hi)
+            for variant in variants:
+                fn_t = jax.jit(lambda r, e=engines[variant], a=ah:
+                               e(dev, r, a))
+                out = fn_t(srt)
                 jax.block_until_ready(out["t"])
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
-                    out = fn(rays)
+                    out = fn_t(srt)
                 jax.block_until_ready(out["t"])
                 dt = (time.perf_counter() - t0) / args.iters
-                mrays = n / dt / 1e6
-                print(f"{scene} : {dist} : {vname} : {mrays:.2f}",
-                      flush=True)
-                results.append({"scene": scene, "dist": dist,
-                                "variant": vname,
-                                "mrays": round(mrays, 2)})
-    if args.json:
-        with open(args.json, "w") as f:
-            json.dump(results, f, indent=1)
+                hits = int(np.asarray(
+                    (out["prim_id"] >= 0)).sum())
+                print(f"{scene} : {dist} : {variant} : "
+                      f"{n / dt / 1e6:.2f} Mrays "
+                      f"({hits} intersections)", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

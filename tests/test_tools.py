@@ -156,3 +156,16 @@ def test_load_data_dir_textured(tmp_path):
     for a, b in zip(jax.tree.leaves(direct.device),
                     jax.tree.leaves(loaded.device)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_benchmark_sweep_smoke(capsys):
+    """The multi-config sweep (benchmarks/benchmark.py role) prints one
+    `scene : dist : variant : N Mrays` line per config."""
+    from rodent_tpu.tools import benchmark
+    benchmark.main(["--scenes", "hall", "--dists", "primary,ao",
+                    "--variants", "tiled", "--rays", "1024",
+                    "--sizes", "hall=2000", "--iters", "1", "--cpu"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    assert out[0].startswith("hall : primary : tiled : ")
+    assert "Mrays" in out[0] and "intersections" in out[1]
