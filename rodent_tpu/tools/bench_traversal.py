@@ -39,6 +39,14 @@ def main(argv=None):
                    help="octant+Morton ray reordering before traversal "
                         "(helps incoherent distributions)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--variant", choices=("tiled", "packet"),
+                   default="tiled",
+                   help="traversal engine: tiled (XLA dual-queue, any "
+                        "scene size) or packet (Pallas shared-stack, "
+                        "BVH must fit in VMEM; pair with --sort)")
+    p.add_argument("--sharded", action="store_true",
+                   help="scene-replicated, ray-sharded traversal over "
+                        "all devices (SURVEY §2.5 multi-chip config)")
     args = p.parse_args(argv)
 
     import jax
@@ -48,7 +56,8 @@ def main(argv=None):
     from ..accel.layout import WideBvh
     from ..io import formats
     from ..traversal.api import bvh_to_device, make_rays
-    from ..traversal.tiled import traverse_tiled as traverse
+    from ..traversal.pallas_packet import traverse_packet
+    from ..traversal.tiled import traverse_tiled
 
     btype = {2: formats.BVH2_TRI1, 4: formats.BVH4_TRI4,
              8: formats.BVH8_TRI4}.get(args.bvh_width)
@@ -74,7 +83,24 @@ def main(argv=None):
         rays, perm = sort_rays(rays, root_lo, root_hi)
         inv_perm = jnp.argsort(perm)
 
-    fn = jax.jit(lambda rr: traverse(dev, rr, any_hit=args.any))
+    if args.sharded:
+        from ..parallel.mesh import make_mesh, traverse_sharded
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        if n % n_dev:  # pad to a shardable count with dead rays
+            pad = n_dev - n % n_dev
+            rays = {k: jnp.concatenate(
+                [v, jnp.full((pad,) + v.shape[1:],
+                             -1.0 if k == "tmax" else 0.0, v.dtype)])
+                for k, v in rays.items()}
+        fn = jax.jit(lambda rr: traverse_sharded(dev, rr, mesh=mesh,
+                                                 any_hit=args.any))
+    elif args.variant == "packet":
+        fn = jax.jit(lambda rr: traverse_packet(dev, rr,
+                                                any_hit=args.any))
+    else:
+        fn = jax.jit(lambda rr: traverse_tiled(dev, rr,
+                                               any_hit=args.any))
     hit = None
     for _ in range(max(args.warmup, 1)):
         hit = fn(rays)
@@ -87,6 +113,7 @@ def main(argv=None):
         jax.block_until_ready(hit["t"])
         times.append(time.perf_counter() - t0)
 
+    hit = {k: v[:n] for k, v in hit.items()}
     if inv_perm is not None:
         hit = {k: v[inv_perm] for k, v in hit.items()}
     prim = np.asarray(hit["prim_id"])
