@@ -87,9 +87,10 @@ def main():
                           jnp.full(n, 1e-3, jnp.float32),
                           jnp.asarray(tmax2))
         rays2, _ = sort_rays(rays2, verts.min(0), verts.max(0))
-        # cone-sorted secondaries now run fastest through the packet
-        # kernel at small tiles (measured rows=16: ao 1.8 vs 1.4 tiled,
-        # bounces 2.7 vs 1.2); tiled remains the >VMEM fallback
+        # cell-cone-sorted secondaries run fastest through the packet
+        # kernel at small tiles (measured rows=16 with the org9-major
+        # sort + any-hit deactivation: ao 2.8, bounces 3.3 vs 1.4/1.2
+        # tiled); tiled remains the >VMEM fallback
         fn2 = jax.jit(lambda r, ah=any_hit: traverse_packet(
             dev, r, any_hit=ah, tile_rows=16))
         mrays2, _h = _bench_traversal(fn2, rays2, n, iters=3)

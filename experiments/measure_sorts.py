@@ -15,6 +15,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=260_000)
     ap.add_argument("--rows", default="8,16,32")
+    ap.add_argument("--dist", default="bounces",
+                    choices=["bounces", "ao"])
     args = ap.parse_args()
 
     import jax
@@ -63,7 +65,7 @@ def main():
         oct_ = ray_octant(jnp.asarray(d)).astype(jnp.uint32)
         om = qmorton(o, lo, hi, 30)
         dm = qmorton(d, np.array([-1.0, -1, -1]), np.array([1.0, 1, 1]), 30)
-        if name == "oct+org":           # current production key
+        if name == "oct+org":           # round-1 production key
             return (oct_ << 28) | (om >> 2)
         if name == "oct+dir6+org":
             return (oct_ << 28) | ((dm >> 24) << 22) | (om >> 8)
@@ -77,16 +79,21 @@ def main():
             return ((om >> 18) << 19) | (oct_ << 16) | (dm >> 14)
         if name == "org15+oct+dir":
             return ((om >> 15) << 16) | (oct_ << 13) | (dm >> 17)
+        if name == "oct+org15+dir":    # production ray_sort_keys form
+            return (oct_ << 29) | ((om >> 15) << 14) | (dm >> 16)
+        if name == "org18+oct":
+            return ((om >> 12) << 3) | oct_
         raise ValueError(name)
 
     rows_list = [int(r) for r in args.rows.split(",")]
-    kind = "bounces"
+    kind = args.dist
+    any_hit = kind == "ao"
     o2, d2, tmax2 = hall_secondary_rays(kind, hp, fnrm)
     base = make_rays(jnp.asarray(o2), jnp.asarray(d2),
                      jnp.full(n, 1e-3, jnp.float32), jnp.asarray(tmax2))
 
-    keys = ["oct+org", "oct+dir6+org", "oct+dir9+org", "oct+dir12+org",
-            "org9+oct+dir", "org12+oct+dir", "org15+oct+dir"]
+    keys = ["oct+org15+dir", "oct+org", "oct+dir9+org",
+            "org9+oct+dir", "org12+oct+dir", "org15+oct+dir", "org18+oct"]
     print(f"{'key':>14} {'rows':>5} {'Mrays/s':>8} {'pops/tile':>10} {'max':>7}")
     for kname in keys:
         kv = key_fn(kname, o2, d2)
@@ -94,7 +101,7 @@ def main():
         rays = {k: v[perm] for k, v in base.items()}
         for rows in rows_list:
             fn = jax.jit(lambda r, tr=rows: pp.traverse_packet(
-                dev, r, any_hit=False, tile_rows=tr))
+                dev, r, any_hit=any_hit, tile_rows=tr))
             out = fn(rays)
             jax.block_until_ready(out["t"])
             iters = 3

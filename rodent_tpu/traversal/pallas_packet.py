@@ -45,12 +45,15 @@ TILE_ROWS = 32           # rays per tile = TILE_ROWS * 128
 # tree) -> 30.0 (Tri8 leaf packets, leaf_threshold 12) -> 36.2 (one
 # shared cross-lane key reduction instead of 8 per-child full reduces)
 # -> 36.8 (octant-pure tile specialization) -> 49.5 (cone-aware ray
-# sort) -> 55.4 (tile_rows 64 -> 32 re-sweep under the new sort).
+# sort) -> 55.4 (tile_rows 64 -> 32 re-sweep under the new sort)
+# -> 58.2 harness / 65.1 bench.py (org9-major sort key; also ao 1.8 ->
+# 2.8 with any-hit done-ray deactivation, bounces 2.75 -> 3.3).
 # Rejected by measurement: pops>1 sequential AND phased (out-of-order
 # expansion/stash overhead), direct scalar VMEM reads (no effect),
-# row-frustum node tests (conservative push-set inflation 2.7x),
-# deferred hit attributes (XLA gather post-pass ~290 ms), stream
-# interleaving (chains do not overlap)
+# row-frustum node tests (push-set inflation; re-measured under the
+# cone sort: rows=16 primary 32.1 vs 48.9 — pops 44 -> 103 still
+# drowns the ~5x op saving), deferred hit attributes (XLA gather
+# post-pass ~290 ms), stream interleaving (chains do not overlap)
 STACK = 64
 POPS = 1        # stack entries retired per loop iteration (see _kernel)
 SCALAR_READS = False  # direct scalar VMEM loads (1 row/line) vs row loads
@@ -302,8 +305,10 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                                  axis=0, keepdims=True))
         return jnp.concatenate(parts, axis=0), row_i
 
-    def leaf_step(code, carry):
+    def leaf_step(code, carry, t_test=None):
         t_cur, u_b, v_b, p_b, g_b = carry
+        if t_test is None:
+            t_test = t_cur
         rd, rdi = load_row(tris_ref, ~code, tri_rpl)
         if "noleaftest" in ablate:  # ablation: skip the vector MT tests
             # (wrong hits: misses everything; same pop schedule only for
@@ -331,7 +336,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             tt = (cx * nn[0] + cy * nn[1] + cz * nn[2]) * sign
             ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= abs_det)
                   & (abs_det != 0.0)
-                  & (tt >= abs_det * tmin) & (tt <= abs_det * t_cur)
+                  & (tt >= abs_det * tmin) & (tt <= abs_det * t_test)
                   & (pid != -1))
             inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
             tv = tt * inv_det
@@ -375,6 +380,16 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             codes.append(code)
             sptr = jnp.where(valid, top, sptr)
 
+        # done-ray deactivation (any-hit): a ray that already has its
+        # hit is tested at t=-inf from here on, so it stops contributing
+        # to child push sets and the tile's node union collapses as rays
+        # complete — the XLA paths' per-ray sptr=0 early-out in tile
+        # form. Reported hits are untouched (updates test t_cur).
+        if any_hit:
+            t_test = jnp.where(p_b >= 0, jnp.float32(-_F32_MAX), t_cur)
+        else:
+            t_test = t_cur
+
         carry = (t_cur, u_b, v_b, p_b, g_b)
         no_push = [zero] * arity
 
@@ -395,17 +410,17 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             for code in codes:
                 def ph_node(_, code=code):
                     def pb(_):
-                        return node_vec(code, carry[0], True)
+                        return node_vec(code, t_test, True)
 
                     def mb(_):
-                        return node_vec(code, carry[0], False)
+                        return node_vec(code, t_test, False)
 
                     parts8, row_i = jax.lax.cond(tile_pure, pb, mb, None)
                     return carry + (parts8, row_i, zero)
 
                 def ph_other(_, code=code):
                     def lb(_):
-                        c2, cont = leaf_step(code, carry)
+                        c2, cont = leaf_step(code, carry, t_test)
                         return c2 + (inf_parts, zrow, cont)
 
                     def sk(_):
@@ -464,15 +479,15 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                     # (unordered slab test for every tile) — tests whether
                     # the nested big-branch cond costs more in spills than
                     # the ordered test saves in flops
-                    return carry + tuple(node_step(code, carry[0], False))
+                    return carry + tuple(node_step(code, t_test, False))
 
                 def pure_body(_):
                     if frustum:
-                        return node_step_frustum(code, carry[0])
-                    return node_step(code, carry[0], True)
+                        return node_step_frustum(code, t_test)
+                    return node_step(code, t_test, True)
 
                 def mixed_body(_):
-                    return node_step(code, carry[0], False)
+                    return node_step(code, t_test, False)
 
                 childs = jax.lax.cond(tile_pure, pure_body, mixed_body,
                                       None)
@@ -480,7 +495,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 
             def do_other(_, carry=carry, code=code):
                 def do_leaf(_):
-                    c2, cont = leaf_step(code, carry)
+                    c2, cont = leaf_step(code, carry, t_test)
                     return c2 + (cont,) + tuple(no_push[1:])
 
                 def do_skip(_):

@@ -49,12 +49,16 @@ def _morton10(x):
 
 
 def ray_sort_keys(org, d, scene_lo, scene_hi):
-    """Sort key = octant (3 high bits), then origin Morton (15 bits,
-    32^3 grid), then direction Morton (14 bits). The direction bits make
-    same-origin rays (e.g. pinhole camera primaries, point-light shadow
-    rays) sort into compact CONES instead of keeping their original
-    scanline order — a 128-ray group then spans a small solid angle,
-    which tightens packet-kernel tile unions and row-frustum bounds."""
+    """Sort key = coarse origin Morton (9 bits, 8^3 grid), then octant
+    (3 bits), then direction Morton (20 bits). Origin-major groups rays
+    from one scene cell; within a cell, octant+direction bits sort rays
+    into compact cones. Measured sweet spot (v5e, hall-260K, packet
+    kernel, experiments/measure_sorts.py): org9|oct|dir beats both the
+    old oct|org15|dir key (ao 2.8 vs 2.3, bounces 3.3 vs 2.8 Mrays/s)
+    and finer origin grids (org12/15/18 all slower — too few direction
+    bits left per cell). For same-origin primaries the org bits are
+    constant, so the key degrades gracefully to pure octant+cone order
+    (which the primary sweep confirms is what the kernel wants)."""
     if not isinstance(org, tuple):
         org = (org[:, 0], org[:, 1], org[:, 2])
     if not isinstance(d, tuple):
@@ -66,17 +70,17 @@ def ray_sort_keys(org, d, scene_lo, scene_hi):
     q = []
     for i in range(3):
         t = (org[i] - lo[i]) / jnp.maximum(hi[i] - lo[i], 1e-30)
-        q.append(jnp.clip(t * 32.0, 0, 31).astype(jnp.uint32))
-    org_m = (_morton10(q[0]) | (_morton10(q[1]) << 1)
-             | (_morton10(q[2]) << 2))               # 15 bits
+        q.append(jnp.clip(t * 8.0, 0, 7).astype(jnp.uint32))
+    org_m = ((_morton10(q[0]) | (_morton10(q[1]) << 1)
+              | (_morton10(q[2]) << 2)) & 0x1FF)     # 9 bits
     inv_len = jax.lax.rsqrt(dt[0] * dt[0] + dt[1] * dt[1]
                             + dt[2] * dt[2] + 1e-30)
-    qd = [jnp.clip((dt[i] * inv_len * 0.5 + 0.5) * 32.0, 0,
-                   31).astype(jnp.uint32) for i in range(3)]
+    qd = [jnp.clip((dt[i] * inv_len * 0.5 + 0.5) * 128.0, 0,
+                   127).astype(jnp.uint32) for i in range(3)]
     dir_m = (_morton10(qd[0]) | (_morton10(qd[1]) << 1)
-             | (_morton10(qd[2]) << 2))              # 15 bits
+             | (_morton10(qd[2]) << 2))              # 21 bits
     oct_ = ray_octant(dt).astype(jnp.uint32)
-    return (oct_ << 29) | (org_m << 14) | (dir_m >> 1)
+    return (org_m << 23) | (oct_ << 20) | (dir_m >> 1)
 
 
 def sort_rays(rays, scene_lo, scene_hi):

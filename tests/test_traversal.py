@@ -195,10 +195,17 @@ def test_octant_sort_preserves_results():
                                   np.asarray(base["t"]))
     np.testing.assert_array_equal(np.asarray(got["prim_id"])[inv],
                                   np.asarray(base["prim_id"]))
-    # sorted keys should group octants contiguously
-    from rodent_tpu.traversal.sorting import ray_octant
+    # sorted keys are non-decreasing, and octants group contiguously
+    # WITHIN each coarse origin cell (org9-major key: cell, then octant,
+    # then direction cone)
+    from rodent_tpu.traversal.sorting import ray_octant, ray_sort_keys
+    keys = np.asarray(ray_sort_keys(sorted_rays["org"],
+                                    sorted_rays["dir"], lo, hi))
+    assert (np.diff(keys.astype(np.int64)) >= 0).all()
+    cells = keys >> 23
     octs = np.asarray(ray_octant(sorted_rays["dir"]))
-    assert (np.diff(octs) >= 0).all()
+    same_cell = np.diff(cells) == 0
+    assert (np.diff(octs)[same_cell] >= 0).all()
 
 
 def test_packet_kernel_matches_api():
