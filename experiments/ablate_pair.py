@@ -15,7 +15,7 @@ from rodent_tpu.utils.testscenes import hall_primary_rays, make_hall
 
 verts, idx = make_hall(260_000)
 bvh = build_bvh(verts, idx, arity=8, packet=8)
-dev = bvh_to_device(bvh)
+dev = bvh_to_device(bvh, pair=True)
 org, dirs = hall_primary_rays(1024, 1024)
 n = len(org)
 prim = make_rays(jnp.asarray(org), jnp.asarray(dirs),

@@ -94,17 +94,32 @@ def main():
         assert same
         return
 
-    fn = jax.jit(lambda r: traverse_tiled(dev, r))
-    hit = fn(rays)
-    jax.block_until_ready(hit["t"])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        hit = fn(rays)
-    jax.block_until_ready(hit["t"])
-    dt = (time.perf_counter() - t0) / 3
-    hf = float(jnp.mean((hit["prim_id"] >= 0).astype(jnp.float32)))
-    print(f"tpu single-chip: {ntris}-tri primary traversal "
-          f"{n / dt / 1e6:.2f} Mrays/s (hit fraction {hf:.3f})")
+    # dev must be a jit ARGUMENT here: closed-over device tables are
+    # baked into the HLO as constants, and a ~0.5 GB constant blob
+    # overflows the remote-compile tunnel (HTTP 413)
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+
+    def bench(fn, label):
+        hit = fn(dev, rays)
+        _ = np.asarray(hit["t"][:128])   # force completion (the remote
+        # backend's block_until_ready returns early on some programs)
+        t0 = time.perf_counter()
+        iters = 3
+        for _ in range(iters):
+            hit = fn(dev, rays)
+        _ = np.asarray(hit["t"][:128])
+        dt = (time.perf_counter() - t0) / iters
+        hf = float(jnp.mean((hit["prim_id"] >= 0).astype(jnp.float32)))
+        print(f"tpu single-chip [{label}]: {ntris}-tri primary "
+              f"{n / dt / 1e6:.2f} Mrays/s (hit fraction {hf:.3f})")
+
+    # production big-scene path: node table VMEM-resident, Tri rows
+    # DMA'd from HBM per leaf pop (pallas_packet tris_hbm mode)
+    bench(jax.jit(lambda d, r: traverse_packet(d, r, tile_rows=32,
+                                               tris_hbm=True)),
+          "packet tris_hbm")
+    # reference point: the XLA dual-queue HBM-gather path
+    bench(jax.jit(lambda d, r: traverse_tiled(d, r)), "tiled")
 
 
 if __name__ == "__main__":

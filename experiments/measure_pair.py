@@ -28,7 +28,7 @@ def main():
 
     verts, idx = make_hall(args.tris)
     bvh = build_bvh(verts, idx, arity=8, packet=8, leaf_threshold=12)
-    dev = bvh_to_device(bvh)
+    dev = bvh_to_device(bvh, pair=True)
     lo, hi = verts.min(0), verts.max(0)
     print(f"nodes={bvh.num_nodes} packets={bvh.num_packets} "
           f"backend={jax.default_backend()}")

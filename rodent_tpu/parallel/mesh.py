@@ -63,11 +63,15 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
 
     film_sharding = NamedSharding(mesh, P("px"))
     film = jax.device_put(film, film_sharding)
+    # scene rides through jit as a replicated ARGUMENT (in_spec P()), not
+    # a closure capture: captured device arrays are baked into the HLO as
+    # constants, which breaks at San-Miguel scale (a ~0.5 GB constant
+    # blob overflows compile-request limits and defeats donation)
+    scene = shard_scene(scene, mesh)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P("px"),),
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("px")),
              out_specs=P("px"), check_vma=False)
-    def step(film_local):
-        scene_local = scene  # replicated closure capture
+    def step(scene_local, film_local):
         px_rank = jax.lax.axis_index("px")
         sp_rank = jax.lax.axis_index("sp")
         pixel_ids = px_rank * local + jnp.arange(local, dtype=jnp.int32)
@@ -83,7 +87,7 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
         # accumulate semantics, mapping_cpu.impala:365-370)
         return film_local + jax.lax.psum(partial_film, "sp") * (1.0 / spp)
 
-    return jax.jit(step)(film)
+    return jax.jit(step)(scene, film)
 
 
 def traverse_sharded(dev, rays, mesh=None, any_hit=False):
@@ -100,11 +104,15 @@ def traverse_sharded(dev, rays, mesh=None, any_hit=False):
     b = rays["org"].shape[0]
     assert b % n_dev == 0, "ray count must divide the device count"
 
-    @partial(jax.shard_map, mesh=flat, in_specs=(P("rays"),),
+    @partial(jax.shard_map, mesh=flat, in_specs=(P(), P("rays")),
              out_specs=P("rays"), check_vma=False)
-    def step(local_rays):
-        return traverse_tiled(dev, local_rays, any_hit=any_hit)
+    def step(dev_local, local_rays):
+        return traverse_tiled(dev_local, local_rays, any_hit=any_hit)
 
+    # dev as replicated argument, not closure capture (see
+    # render_iteration_sharded): constants don't scale to 0.5 GB BVHs
+    repl = NamedSharding(flat, P())
+    dev = jax.tree.map(lambda x: jax.device_put(x, repl), dev)
     sharding = NamedSharding(flat, P("rays"))
     rays = jax.tree.map(lambda x: jax.device_put(x, sharding), rays)
-    return jax.jit(step)(rays)
+    return jax.jit(step)(dev, rays)

@@ -122,8 +122,9 @@ def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def bvh_to_device(bvh):
-    """WideBvh (numpy) -> dict of flat-row jnp arrays for traverse()."""
+def bvh_to_device(bvh, pair=False):
+    """WideBvh (numpy) -> dict of flat-row jnp arrays for traverse().
+    pair=True additionally packs the pallas_pair experiment's layouts."""
     a = bvh.arity
     nn = bvh.num_nodes
     nodes = np.zeros((nn, 7 * a), np.float32)
@@ -149,8 +150,11 @@ def bvh_to_device(bvh):
         "tris": jnp.asarray(tris),
         "meta": BvhMeta(shared_stack=s_need, node_stack=n_need),
     }
-    if a == 8 and m == 8:
-        # pair-kernel row layouts (traversal.pallas_pair)
+    if pair and a == 8 and m == 8:
+        # pair-kernel row layouts (traversal.pallas_pair) — opt-in: the
+        # pair kernel is a retired experiment (ROADMAP round-2), and its
+        # tables roughly double device memory (e.g. +551 MB on a 4.3M-tri
+        # scene)
         from .pallas_pair import pack_tables
         pn, pt = pack_tables(nodes, tris)
         dev["pair_nodes"] = jnp.asarray(pn)

@@ -65,7 +65,13 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
             *rest, arity, m, any_hit, stack_size,
             node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False,
-            count_pops=False, ablate=(), frustum=False):
+            count_pops=False, ablate=(), frustum=False, tris_hbm=False):
+    rest = list(rest)
+    if tris_hbm:
+        # big-scene mode: tris_ref lives in HBM (ANY); leaf pops DMA one
+        # Tri row into this VMEM line (+ its completion semaphore)
+        tri_buf, tri_sem = rest[-2:]
+        rest = rest[:-2]
     if count_pops:
         cnt_ref, stack_ref, cnt_sm = rest
     else:
@@ -309,7 +315,19 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         t_cur, u_b, v_b, p_b, g_b = carry
         if t_test is None:
             t_test = t_cur
-        rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+        if tris_hbm:
+            # DMA the Tri row HBM -> VMEM line (tri_rpl forced to 1);
+            # blocking wait — the ~1-2 us latency replaces the XLA
+            # path's per-ray row gathers, amortized over the whole tile
+            cp = pltpu.make_async_copy(tris_ref.at[pl.ds(~code, 1)],
+                                       tri_buf, tri_sem)
+            cp.start()
+            cp.wait()
+            row = tri_buf[pl.ds(0, 1), :]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
+        else:
+            rd, rdi = load_row(tris_ref, ~code, tri_rpl)
         if "noleaftest" in ablate:  # ablation: skip the vector MT tests
             # (wrong hits: misses everything; same pop schedule only for
             # workloads whose t_cur pruning doesn't change the node walk)
@@ -554,7 +572,7 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                                any_hit=False, tile_rows=TILE_ROWS,
                                interpret=False, pops=POPS,
                                scalar_reads=SCALAR_READS,
-                               frustum=FRUSTUM):
+                               frustum=FRUSTUM, tris_hbm=False):
     """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
     hit dict of (R, 128) arrays out (integrator-facing; dead rays =
     tmax < tmin)."""
@@ -573,7 +591,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     comp += [prep(tmin), prep(tmax, fill=-1.0)]
     packed = jnp.stack(comp)
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
-                        pops, scalar_reads, frustum=frustum)
+                        pops, scalar_reads, frustum=frustum,
+                        tris_hbm=tris_hbm)
     t, u, v, p, g = [o[:R] for o in outs[:5]]
     t = jnp.where(p < 0, tmax, t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -582,9 +601,13 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
 def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                     interpret=False, pops=POPS,
                     scalar_reads=SCALAR_READS, ablate=(),
-                    frustum=FRUSTUM):
+                    frustum=FRUSTUM, tris_hbm=False):
     """Packet-kernel traversal; same contract as api.traverse.
-    Requires the BVH to fit in VMEM (~100 MB with the raised limit)."""
+    Requires the node table to fit in VMEM (~100 MB with the raised
+    limit). tris_hbm=True keeps the (much larger) triangle table in HBM
+    and DMAs one Tri row per leaf pop — the San-Miguel-class mode: a
+    4M-tri scene has ~30 MB of nodes (VMEM-resident) but ~400 MB of
+    Tri8 packets."""
     B = rays["org"].shape[0]
     tile = tile_rows * 128
     nt = -(-B // tile)
@@ -604,7 +627,7 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
 
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                         pops, scalar_reads, ablate=ablate,
-                        frustum=frustum)
+                        frustum=frustum, tris_hbm=tris_hbm)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -626,7 +649,7 @@ def _pack_rows(table, force_single=False):
 
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                  pops=POPS, scalar_reads=SCALAR_READS, count_pops=False,
-                 ablate=(), frustum=FRUSTUM):
+                 ablate=(), frustum=FRUSTUM, tris_hbm=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -636,7 +659,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     if interpret:
         scalar_reads = False  # interpreter path: keep vector loads
     nodes2, node_rpl = _pack_rows(dev["nodes"], force_single=scalar_reads)
-    tris2, tri_rpl = _pack_rows(dev["tris"], force_single=scalar_reads)
+    tris2, tri_rpl = _pack_rows(dev["tris"],
+                                force_single=scalar_reads or tris_hbm)
 
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
@@ -653,7 +677,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                              node_rpl=node_rpl, tri_rpl=tri_rpl, pops=pops,
                              scalar_reads=scalar_reads,
                              count_pops=count_pops, ablate=tuple(ablate),
-                             frustum=frustum)
+                             frustum=frustum, tris_hbm=tris_hbm)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
@@ -682,11 +706,15 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         in_specs=[rays_spec,
                   pl.BlockSpec(nodes2.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(tris2.shape, lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+                  (pl.BlockSpec(memory_space=pltpu.ANY) if tris_hbm else
+                   pl.BlockSpec(tris2.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM))],
         out_specs=out_specs,
         scratch_shapes=([pltpu.SMEM((stack_size,), jnp.int32)]
                         + ([pltpu.SMEM((1,), jnp.int32)] if count_pops
+                           else [])
+                        + ([pltpu.VMEM((1, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())] if tris_hbm
                            else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),

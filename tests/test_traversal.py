@@ -229,6 +229,28 @@ def test_packet_kernel_matches_api():
     np.testing.assert_array_equal(wa, ga)
 
 
+def test_packet_kernel_tris_hbm_matches_api():
+    """The big-scene mode (triangle table in HBM, one DMA per leaf pop)
+    must agree exactly with api.traverse — same walk, different triangle
+    row transport."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8, packet=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=49)
+    a = traverse(dev, rays)
+    b = traverse_packet(dev, rays, tile_rows=2, tris_hbm=True)
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                               atol=1e-5, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                  np.asarray(b["prim_id"]))
+    rays2 = random_rays(256, seed=51, tmax=2.0)
+    wa = np.asarray(traverse(dev, rays2, any_hit=True)["prim_id"]) >= 0
+    ga = np.asarray(traverse_packet(dev, rays2, any_hit=True, tile_rows=2,
+                                    tris_hbm=True)["prim_id"]) >= 0
+    np.testing.assert_array_equal(wa, ga)
+
+
 def test_pair_kernel_matches_api():
     """The pair-layout kernel (v3, interpret mode on CPU) must agree
     exactly with api.traverse — hits, uv, ids, and any-hit occlusion —
@@ -236,7 +258,7 @@ def test_pair_kernel_matches_api():
     from rodent_tpu.traversal.pallas_pair import traverse_pair
     verts, idx = random_tri_soup(257, seed=47)
     bvh = build_bvh(verts, idx, arity=8, packet=8)
-    dev = bvh_to_device(bvh)
+    dev = bvh_to_device(bvh, pair=True)
     rays = random_rays(300, seed=49)  # non-multiple of tile size
     a = traverse(dev, rays)
     b = traverse_pair(dev, rays, tile_rays=256)
@@ -271,7 +293,7 @@ def test_pair_kernel_deep_tree():
                     np.arange(800) + 1600,
                     np.zeros(800)], 1).astype(np.int32).reshape(-1)
     bvh = build_bvh(verts, idx, arity=8, packet=8)
-    dev = bvh_to_device(bvh)
+    dev = bvh_to_device(bvh, pair=True)
     rays = random_rays(512, seed=85)
     a = traverse(dev, rays)
     b = traverse_pair(dev, rays, tile_rays=512)
