@@ -96,6 +96,37 @@ def main():
         mrays2, _h = _bench_traversal(fn2, rays2, n, iters=3)
         detail[f"{kind}_mrays"] = round(mrays2, 2)
 
+    # ---- San-Miguel-class big scene (tris-in-HBM packet mode) ----
+    # 4.3M-tri powerplant: node table (33 MB) VMEM-resident, Tri8 table
+    # (420 MB) stays in HBM with one DMA per leaf pop. Timing forces a
+    # small host fetch: the remote backend's block_until_ready returns
+    # early on some programs.
+    if jax.default_backend() == "tpu":
+        from rodent_tpu.utils.testscenes import (make_powerplant,
+                                                 powerplant_primary_rays)
+        bverts, bidx = make_powerplant(5_000_000)
+        bbvh = build_bvh(bverts, bidx, arity=8, packet=8, quality=0,
+                         leaf_threshold=12)
+        bdev = bvh_to_device(bbvh)
+        borg, bdirs = powerplant_primary_rays(1024, 1024)
+        bn = len(borg)
+        brays = make_rays(jnp.asarray(borg), jnp.asarray(bdirs),
+                          jnp.zeros(bn, jnp.float32),
+                          jnp.full(bn, 3.402823466e38, jnp.float32))
+        brays, _ = sort_rays(brays, bverts.min(0), bverts.max(0))
+        bfn = jax.jit(lambda d, r: traverse_packet(d, r, tile_rows=32,
+                                                   tris_hbm=True))
+        bhit = bfn(bdev, brays)
+        _ = np.asarray(bhit["t"][:128])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            bhit = bfn(bdev, brays)
+        _ = np.asarray(bhit["t"][:128])
+        detail["bigscene_tris"] = len(bidx) // 4
+        detail["bigscene_mrays"] = round(
+            bn * 3 / (time.perf_counter() - t0) / 1e6, 2)
+        del bdev, bhit, brays
+
     # ---- cornell quality gate + renderer throughput ----
     from rodent_tpu.io import png
     from rodent_tpu.render import film as film_mod
