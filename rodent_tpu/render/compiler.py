@@ -342,6 +342,20 @@ def packet_ok(device, limit_bytes=80 * 1024 * 1024):
             + device["bvh"]["tris"].size) * 4 <= limit_bytes
 
 
+def packet_mode(device, limit_bytes=80 * 1024 * 1024):
+    """Auto-selects the renderer's traversal policy from the scene's
+    VMEM footprint: "hybrid" (whole BVH VMEM-resident), "hybrid-hbm"
+    (node table fits, Tri table DMA'd from HBM — San-Miguel-class), or
+    False (nodes exceed VMEM too: XLA dual-queue everywhere)."""
+    nodes_b = device["bvh"]["nodes"].size * 4
+    tris_b = device["bvh"]["tris"].size * 4
+    if nodes_b + tris_b <= limit_bytes:
+        return "hybrid"
+    if nodes_b <= limit_bytes:
+        return "hybrid-hbm"
+    return False
+
+
 def _mat_eq(a, b):
     return (a.ka == b.ka and a.kd == b.kd and a.ks == b.ks and a.ke == b.ke
             and a.ns == b.ns and a.ni == b.ni and a.tf == b.tf

@@ -69,7 +69,9 @@ def make_rays_c(org, dirv, tmin, tmax):
 
 def _traverse(scene, rays, any_hit=False, packet=False):
     """packet=True uses the Pallas shared-stack kernel (BVH must fit in
-    VMEM); default is the pure-XLA dual-queue loop.
+    VMEM); packet="hbm" uses its big-scene mode (node table in VMEM,
+    Tri rows DMA'd from HBM — San-Miguel-class scenes); default is the
+    pure-XLA dual-queue loop.
 
     The packet kernel is 10-20x faster on coherent distributions but
     craters on incoherent ones (tile unions explode — measured 36.8 vs
@@ -79,7 +81,11 @@ def _traverse(scene, rays, any_hit=False, packet=False):
     work onto the packet kernel and keeps bounces here — the reference's
     hybrid kernel switch (mapping_cpu.impala:267-324) at wavefront
     granularity."""
-    fn = traverse_packet_components if packet else traverse_components
+    if packet:
+        fn = partial(traverse_packet_components,
+                     tris_hbm=(packet == "hbm"))
+    else:
+        fn = traverse_components
     return fn(scene["bvh"], rays["org"], rays["dir"],
               rays["inv_dir"], rays["inv_org"],
               rays["tmin"], rays["tmax"], any_hit=any_hit)
@@ -337,7 +343,9 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
 
     packet: False = XLA dual-queue for every traversal; True = Pallas
     packet kernel for every traversal (small scenes, BVH in VMEM);
-    "hybrid" = packet kernel for the coherent depth-0 camera + shadow
+    "hbm" = packet kernel in big-scene mode for every traversal (node
+    table in VMEM, Tri rows DMA'd from HBM); "hybrid"/"hybrid-hbm" =
+    packet kernel for the coherent depth-0 camera + shadow
     rays (peeled out of the loop), dual-queue for bounce depths — the
     per-distribution kernel switch the reference's hybrid mode makes
     per packet (mapping_cpu.impala:267-324)."""
@@ -369,11 +377,13 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     def cond(c):
         return jnp.any(c["state"]["alive"])
 
-    loop_packet = packet is True
-    if packet == "hybrid":
+    loop_packet = packet if packet in (True, "hbm") else False
+    if packet in ("hybrid", "hybrid-hbm"):
         # peel the coherent depth-0 iteration onto the packet kernel
-        hit = _traverse(scene, rays, packet=True)
-        rays, state = _shade(scene, rays, hit, state, packet=True)
+        # (big-scene flavor when the Tri table exceeds VMEM)
+        peel = True if packet == "hybrid" else "hbm"
+        hit = _traverse(scene, rays, packet=peel)
+        rays, state = _shade(scene, rays, hit, state, packet=peel)
 
     def body(c):
         rays, state = c["rays"], c["state"]

@@ -42,7 +42,8 @@ def main(argv=None):
                    help="disable the Pallas packet traversal (used by "
                         "default when the BVH fits in VMEM)")
     p.add_argument("--traversal", choices=("auto", "tiled", "packet",
-                                           "hybrid"), default="auto",
+                                           "hybrid", "hybrid-hbm"),
+                   default="auto",
                    help="kernel policy: packet for everything, tiled "
                         "(XLA dual-queue) for everything, or hybrid "
                         "(packet for depth-0 camera+shadow rays, tiled "
@@ -55,20 +56,20 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj, packet_ok
+    from ..render.compiler import compile_obj, packet_mode
     from ..render.integrator import render_iteration
     from ..io import png
 
     scene = compile_obj(args.scene, max_path_len=args.max_path_len)
     import jax as _jax
     if args.traversal == "auto":
-        packet = ("hybrid" if ((not args.no_packet)
-                               and packet_ok(scene.device)
-                               and _jax.default_backend() == "tpu")
+        mode = packet_mode(scene.device)
+        packet = (mode if ((not args.no_packet) and mode
+                           and _jax.default_backend() == "tpu")
                   else False)
     else:
-        packet = {"tiled": False, "packet": True,
-                  "hybrid": "hybrid"}[args.traversal]
+        packet = {"tiled": False, "packet": True, "hybrid": "hybrid",
+                  "hybrid-hbm": "hybrid-hbm"}[args.traversal]
     cam = Camera.make(args.eye, args.dir, args.up, args.fov,
                       args.width, args.height)
     film = film_mod.new_film(args.width, args.height)

@@ -58,6 +58,7 @@ STACK = 64
 POPS = 1        # stack entries retired per loop iteration (see _kernel)
 SCALAR_READS = False  # direct scalar VMEM loads (1 row/line) vs row loads
 FRUSTUM = False  # row-frustum node tests (conservative, ~5x fewer ops)
+LEAF_CHAIN = 1   # Tri packets consumed per leaf pop (chained leaves)
 _F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
 
 
@@ -65,7 +66,8 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
             *rest, arity, m, any_hit, stack_size,
             node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False,
-            count_pops=False, ablate=(), frustum=False, tris_hbm=False):
+            count_pops=False, ablate=(), frustum=False, tris_hbm=False,
+            leaf_chain=1):
     rest = list(rest)
     if tris_hbm:
         # big-scene mode: tris_ref lives in HBM (ANY); leaf pops DMA one
@@ -311,7 +313,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                                  axis=0, keepdims=True))
         return jnp.concatenate(parts, axis=0), row_i
 
-    def leaf_step(code, carry, t_test=None):
+    def _leaf_one(code, carry, t_test=None):
         t_cur, u_b, v_b, p_b, g_b = carry
         if t_test is None:
             t_test = t_cur
@@ -369,6 +371,20 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         # continue multi-packet leaves: next packet's code is code-1
         cont_code = jnp.where(is_last, jnp.int32(0), code - 1)
         return (t_cur, u_b, v_b, p_b, g_b), cont_code
+
+    def leaf_step(code, carry, t_test=None):
+        """Consumes up to leaf_chain consecutive Tri packets of one leaf
+        per pop: each chained packet saves the fixed per-pop overhead
+        (~600 ns) that re-popping the continuation would cost; chains
+        longer than leaf_chain still continue via the pushed code."""
+        carry, cont = _leaf_one(code, carry, t_test)
+        for _ in range(leaf_chain - 1):
+            carry, cont = jax.lax.cond(
+                cont < 0,
+                lambda args: _leaf_one(args[1], args[0], t_test),
+                lambda args: args,
+                (carry, cont))
+        return carry, cont
 
     def cond(c):
         sptr = c[0]
@@ -572,7 +588,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                                any_hit=False, tile_rows=TILE_ROWS,
                                interpret=False, pops=POPS,
                                scalar_reads=SCALAR_READS,
-                               frustum=FRUSTUM, tris_hbm=False):
+                               frustum=FRUSTUM, tris_hbm=False,
+                               leaf_chain=LEAF_CHAIN):
     """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
     hit dict of (R, 128) arrays out (integrator-facing; dead rays =
     tmax < tmin)."""
@@ -592,7 +609,7 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     packed = jnp.stack(comp)
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                         pops, scalar_reads, frustum=frustum,
-                        tris_hbm=tris_hbm)
+                        tris_hbm=tris_hbm, leaf_chain=leaf_chain)
     t, u, v, p, g = [o[:R] for o in outs[:5]]
     t = jnp.where(p < 0, tmax, t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -601,7 +618,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
 def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                     interpret=False, pops=POPS,
                     scalar_reads=SCALAR_READS, ablate=(),
-                    frustum=FRUSTUM, tris_hbm=False):
+                    frustum=FRUSTUM, tris_hbm=False,
+                    leaf_chain=LEAF_CHAIN):
     """Packet-kernel traversal; same contract as api.traverse.
     Requires the node table to fit in VMEM (~100 MB with the raised
     limit). tris_hbm=True keeps the (much larger) triangle table in HBM
@@ -627,7 +645,8 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
 
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                         pops, scalar_reads, ablate=ablate,
-                        frustum=frustum, tris_hbm=tris_hbm)
+                        frustum=frustum, tris_hbm=tris_hbm,
+                        leaf_chain=leaf_chain)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -649,7 +668,8 @@ def _pack_rows(table, force_single=False):
 
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                  pops=POPS, scalar_reads=SCALAR_READS, count_pops=False,
-                 ablate=(), frustum=FRUSTUM, tris_hbm=False):
+                 ablate=(), frustum=FRUSTUM, tris_hbm=False,
+                 leaf_chain=LEAF_CHAIN):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -677,7 +697,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                              node_rpl=node_rpl, tri_rpl=tri_rpl, pops=pops,
                              scalar_reads=scalar_reads,
                              count_pops=count_pops, ablate=tuple(ablate),
-                             frustum=frustum, tris_hbm=tris_hbm)
+                             frustum=frustum, tris_hbm=tris_hbm,
+                             leaf_chain=leaf_chain)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
