@@ -9,6 +9,8 @@ reproduces that sweep on the TPU build's procedural scene fixtures
 not redistributable) and both traversal engines:
 
   packet  Pallas shared-stack packet kernel (VMEM-resident BVH)
+  hbm     packet kernel, big-scene mode (nodes VMEM, Tri rows DMA'd
+          from HBM) — San-Miguel-class scenes
   tiled   XLA dual-queue lockstep kernel (HBM path, any scene size)
 
 Usage:
@@ -36,7 +38,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="benchmark")
     p.add_argument("--scenes", default="hall,crown,powerplant")
     p.add_argument("--dists", default="primary,ao,bounces")
-    p.add_argument("--variants", default="packet,tiled")
+    p.add_argument("--variants", default="packet,hbm,tiled")
     p.add_argument("--rays", type=int, default=1024 * 1024)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--sizes", default="",
@@ -69,8 +71,12 @@ def main(argv=None):
     variants = args.variants.split(",")
     engines = {
         "packet": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah),
+        "hbm": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah,
+                                                  tris_hbm=True),
         "tiled": lambda dev, r, ah: traverse_tiled(dev, r, any_hit=ah),
     }
+    # VMEM budget gates (bytes of f32 tables) for the Pallas variants
+    VMEM_BUDGET = 80 * 1024 * 1024
 
     for scene in args.scenes.split(","):
         make_name, rays_name, dflt = _SCENES[scene]
@@ -108,17 +114,33 @@ def main(argv=None):
                                      jnp.full(n, 1e-3, jnp.float32),
                                      jnp.asarray(tmax2)), ah)
 
+        nodes_b = dev["nodes"].size * 4
+        tris_b = dev["tris"].size * 4
         for dist, (rays, ah) in dists.items():
             srt, _ = sort_rays(rays, lo, hi)
             for variant in variants:
-                fn_t = jax.jit(lambda r, e=engines[variant], a=ah:
-                               e(dev, r, a))
-                out = fn_t(srt)
-                jax.block_until_ready(out["t"])
+                if variant == "packet" and nodes_b + tris_b > VMEM_BUDGET:
+                    print(f"{scene} : {dist} : packet : skipped "
+                          f"(BVH {nodes_b + tris_b >> 20} MB > VMEM; "
+                          f"use hbm)", flush=True)
+                    continue
+                if variant == "hbm" and nodes_b > VMEM_BUDGET:
+                    print(f"{scene} : {dist} : hbm : skipped "
+                          f"(nodes {nodes_b >> 20} MB > VMEM)", flush=True)
+                    continue
+                # dev rides as a jit ARGUMENT (closure capture bakes the
+                # tables into the HLO as constants; huge scenes overflow
+                # the remote-compile request) and timing forces a small
+                # host fetch (block_until_ready returns early on some
+                # remote-backend programs)
+                fn_t = jax.jit(lambda d, r, e=engines[variant], a=ah:
+                               e(d, r, a))
+                out = fn_t(dev, srt)
+                _ = np.asarray(out["t"][:128])
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
-                    out = fn_t(srt)
-                jax.block_until_ready(out["t"])
+                    out = fn_t(dev, srt)
+                _ = np.asarray(out["t"][:128])
                 dt = (time.perf_counter() - t0) / args.iters
                 hits = int(np.asarray(
                     (out["prim_id"] >= 0)).sum())
