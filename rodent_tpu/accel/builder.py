@@ -281,8 +281,15 @@ def _collapse_wide_dp(bin_bvh, arity, packet):
     def emit(b):
         idx = len(nodes_children)
         nodes_children.append(None)
+        slots = slots_of(b)
+        if len(slots) == 1 and slots[0] == b and not is_leaf[b]:
+            # degenerate fixed point (coincident zero-area subtree: every
+            # cost is 0, the tie-collapse returns the node itself) —
+            # force a binary expansion so the recursion descends; same
+            # guard as the native builder
+            slots = [int(left[b]), int(right[b])]
         entries = []
-        for m in slots_of(b):
+        for m in slots:
             if is_leaf[m] or as_leaf[m]:
                 entries.append(("leaf", int(start[m]),
                                 int(end[m] - start[m]), int(m)))

@@ -439,6 +439,17 @@ void Builder::dp_collapse_emit() {
     auto emit_wide = [&](int32_t b) {
         int64_t widx = alloc_node();
         slots_of(b);
+        if (slots.size() == 1 && slots[0] == b && dpn[b].l >= 0) {
+            // Degenerate fixed point: a subtree of coincident zero-area
+            // boxes has cost 0 at every arity, the tie-collapse reduces
+            // the expansion to the node itself, and the work loop would
+            // re-emit it forever (seen on >64 coincident degenerate
+            // tris). Force a binary expansion so the recursion always
+            // descends.
+            slots.clear();
+            slots.push_back(dpn[b].l);
+            slots.push_back(dpn[b].r);
+        }
         float* bb = &out_bounds[size_t(widx) * 6 * arity];
         for (int s = 0; s < int(slots.size()); ++s) {
             int32_t m = slots[s];

@@ -422,3 +422,22 @@ def test_sbvh_spatial_splits_on_skinny_diagonals():
     b = traverse(bvh_to_device(fast), rays)
     np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_coincident_degenerate_cluster_builds_and_traverses():
+    """>64 coincident zero-area triangles used to drive the DP wide
+    collapse into a fixed point (every subtree cost 0 -> the expansion
+    returned the node itself -> infinite emit loop) in BOTH builder
+    tiers. The guard forces binary expansion; hits must still match the
+    brute-force oracle (degenerate tris never intersect: det == 0)."""
+    verts = np.zeros((303, 3), np.float32)
+    verts[300:] = [[0, 0, 0], [4, 0, 0], [0, 4, 0]]
+    idx = np.concatenate(
+        [np.stack([np.arange(100) * 3, np.arange(100) * 3 + 1,
+                   np.arange(100) * 3 + 2, np.zeros(100, int)], 1),
+         [[300, 301, 302, 0]]]).astype(np.int32).reshape(-1)
+    for use_native in (True, False):
+        bvh = build_bvh(verts, idx, arity=8, packet=8,
+                        use_native=use_native, quality=0)
+        rays = random_rays(256, seed=91)
+        check_match(bvh, rays)
