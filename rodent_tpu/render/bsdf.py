@@ -30,6 +30,9 @@ checked against the *face* normal (make_bsdf_sample, material.impala:63-74).
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+import jax
 import jax.numpy as jnp
 
 from ..core import vmath as vm
@@ -40,6 +43,27 @@ from ..core.sampling import (cosine_hemisphere_pdf,
                              sample_cosine_power_hemisphere_c)
 
 BLACK, DIFFUSE, PHONG, MIRROR, GLASS, MIX = 0, 1, 2, 3, 4, 5
+ALL_KINDS = (BLACK, DIFFUSE, PHONG, MIRROR, GLASS, MIX)
+
+
+@jax.tree_util.register_static
+@dataclass(frozen=True)
+class KindSet:
+    """Static set of BSDF kinds present in a scene. The converter knows
+    the scene's materials at compile time, so the integrator's jit can
+    prune the masked dispatch to just the kinds that occur — the TPU
+    analog of the reference emitting generated code containing only the
+    used materials (converter.cpp:683-709). Lives in the device dict as
+    a static pytree node (like traversal.api.BvhMeta)."""
+    kinds: tuple
+
+
+def _want(kinds):
+    if kinds is None:
+        return frozenset(ALL_KINDS)
+    if isinstance(kinds, KindSet):
+        return frozenset(kinds.kinds)
+    return frozenset(kinds)
 
 
 def positive_cos(a, b):
@@ -63,23 +87,40 @@ def _phong_eval_pdf(mat, surf, in_dir, out_dir):
     return e, cosine_power_hemisphere_pdf(cos, ns)
 
 
-def eval_pdf(mat, surf, in_dir, out_dir):
-    """Returns (color Vec3, pdf) of the BSDF for in/out directions."""
+def eval_pdf(mat, surf, in_dir, out_dir, kinds=None):
+    """Returns (color Vec3, pdf) of the BSDF for in/out directions.
+    kinds (a KindSet / iterable / None=all) statically prunes the masked
+    dispatch to the kinds present in the scene."""
+    want = _want(kinds)
     kind = mat["kind"]
     cos_n = positive_cos(in_dir, surf["n"])
 
-    d_e = _diffuse_eval(mat)
-    d_pdf = cosine_hemisphere_pdf(cos_n)
-    p_e, p_pdf = _phong_eval_pdf(mat, surf, in_dir, out_dir)
-    k = mat["mix_k"]
+    need_d = DIFFUSE in want or MIX in want
+    need_p = PHONG in want or MIX in want
+    if need_d:
+        d_e = _diffuse_eval(mat)
+        d_pdf = cosine_hemisphere_pdf(cos_n)
+    if need_p:
+        p_e, p_pdf = _phong_eval_pdf(mat, surf, in_dir, out_dir)
 
-    zero = vm.splat((0.0, 0.0, 0.0), like=cos_n)
-    color = vm.where(kind == DIFFUSE, d_e,
-            vm.where(kind == PHONG, p_e,
-            vm.where(kind == MIX, vm.lerp(d_e, p_e, k), zero)))
-    pdf = jnp.where(kind == DIFFUSE, d_pdf,
-          jnp.where(kind == PHONG, p_pdf,
-          jnp.where(kind == MIX, d_pdf + (p_pdf - d_pdf) * k, 0.0)))
+    branches = []
+    if DIFFUSE in want:
+        branches.append((DIFFUSE, d_e, d_pdf))
+    if PHONG in want:
+        branches.append((PHONG, p_e, p_pdf))
+    if MIX in want:
+        k = mat["mix_k"]
+        branches.append((MIX, vm.lerp(d_e, p_e, k),
+                         d_pdf + (p_pdf - d_pdf) * k))
+
+    if len(want) == 1 and branches:
+        # every lane is this kind: no select needed
+        return branches[0][1], branches[0][2]
+    color = vm.splat((0.0, 0.0, 0.0), like=cos_n)
+    pdf = jnp.zeros_like(cos_n)
+    for kval, c_, p_ in reversed(branches):
+        color = vm.where(kind == kval, c_, color)
+        pdf = jnp.where(kind == kval, p_, pdf)
     return color, pdf
 
 
@@ -92,12 +133,18 @@ def _validate(surf, in_dir, pdf, color, inverted):
     return jnp.where(valid, pdf, 1.0), vm.where(valid, color, zero)
 
 
-def sample(mat, surf, rnd, out_dir):
-    """Samples all kinds with masks; a fixed 3 uniforms are drawn per ray
-    so RNG state threading is batch-uniform (the per-material draw count
-    of the reference only changes the noise pattern, not the estimator).
+def sample(mat, surf, rnd, out_dir, kinds=None):
+    """Samples the present kinds with masks; a fixed 3 uniforms are drawn
+    per ray so RNG state threading is batch-uniform (the per-material
+    draw count of the reference only changes the noise pattern, not the
+    estimator — and keeping it fixed also makes films identical across
+    kind-set specializations).
+
+    kinds (KindSet / iterable / None=all) statically prunes the lobes
+    computed and the final dispatch to the kinds present in the scene.
 
     Returns (in_dir Vec3, pdf, cos, color Vec3, rnd)."""
+    want = _want(kinds)
     kind = mat["kind"]
     n = surf["n"]
     t_, b_ = surf["t"], surf["b"]
@@ -106,83 +153,96 @@ def sample(mat, surf, rnd, out_dir):
     u1, rnd = randf(rnd)
     u2, rnd = randf(rnd)
     falsem = jnp.zeros_like(u0, bool)
+    ones = jnp.ones_like(u0)
 
-    # --- diffuse: cosine hemisphere in the shading frame ---
-    d_local, d_pdf = sample_cosine_hemisphere_c(u1, u2)
-    d_dir = vm.basis_mul(t_, b_, n, d_local)
-    d_cos = d_local[2]
-    d_color = _diffuse_eval(mat)
-    d_pdf, d_color = _validate(surf, d_dir, d_pdf, d_color, falsem)
+    need_d = DIFFUSE in want or MIX in want
+    need_p = PHONG in want or MIX in want
+    need_refl = need_p or MIRROR in want or GLASS in want
 
-    # --- phong: cosine-power lobe around the reflection direction ---
-    ns = mat["ns"]
-    refl = vm.reflect(out_dir, n)
-    p_local, p_pdf = sample_cosine_power_hemisphere_c(ns, u1, u2)
-    rt, rb, rn = vm.onb(refl)
-    p_dir = vm.basis_mul(rt, rb, rn, p_local)
-    p_cos = positive_cos(p_dir, n)
-    p_color = vm.scale(mat["ks"], p_pdf * (ns + 2.0) / (ns + 1.0))
-    p_pdf_v, p_color = _validate(surf, p_dir, p_pdf, p_color, falsem)
+    if need_refl:
+        refl = vm.reflect(out_dir, n)
 
-    # --- mirror ---
-    m_dir = refl
-    m_pdf = jnp.ones_like(d_pdf)
-    m_pdf, m_color = _validate(surf, m_dir, m_pdf, mat["ks"], falsem)
+    if need_d:
+        # --- diffuse: cosine hemisphere in the shading frame ---
+        d_local, d_pdf = sample_cosine_hemisphere_c(u1, u2)
+        d_dir = vm.basis_mul(t_, b_, n, d_local)
+        d_cos = d_local[2]
+        d_color = _diffuse_eval(mat)
+        d_pdf, d_color = _validate(surf, d_dir, d_pdf, d_color, falsem)
 
-    # --- glass (adjoint=false as in the path tracer) ---
-    k_ior = jnp.where(surf["is_entering"], 1.0 / mat["ni"], mat["ni"])
-    cos_i = vm.dot(out_dir, n)
-    cos2_t = 1.0 - k_ior * k_ior * (1.0 - cos_i * cos_i)
-    cos_t = jnp.sqrt(jnp.maximum(cos2_t, 0.0))
-    f_s = (k_ior * cos_i - cos_t) / jnp.maximum(k_ior * cos_i + cos_t, 1e-30)
-    f_p = (cos_i - k_ior * cos_t) / jnp.maximum(cos_i + k_ior * cos_t, 1e-30)
-    fresnel = 0.5 * (f_s * f_s + f_p * f_p)
-    refr_dir = vm.sub(vm.scale(n, k_ior * cos_i - cos_t),
-                      vm.scale(out_dir, k_ior))
-    refract = (cos2_t > 0.0) & (u0 > fresnel)
-    g_dir = vm.where(refract, refr_dir, refl)
-    g_pdf = jnp.ones_like(d_pdf)
-    g_color = vm.where(refract, mat["tf"], mat["ks"])
-    g_pdf, g_color = _validate(surf, g_dir, g_pdf, g_color, refract)
+    if need_p:
+        # --- phong: cosine-power lobe around the reflection direction ---
+        ns = mat["ns"]
+        p_local, p_pdf = sample_cosine_power_hemisphere_c(ns, u1, u2)
+        rt, rb, rn = vm.onb(refl)
+        p_dir = vm.basis_mul(rt, rb, rn, p_local)
+        p_cos = positive_cos(p_dir, n)
+        p_color = vm.scale(mat["ks"], p_pdf * (ns + 2.0) / (ns + 1.0))
+        p_pdf_v, p_color = _validate(surf, p_dir, p_pdf, p_color, falsem)
 
-    # --- mix(diffuse, phong, k): pick a lobe, combine pdfs/colors ---
-    k = mat["mix_k"]
-    pick_phong = u0 < k  # reference: randf >= k -> mat1 (diffuse)
-    x_dir = vm.where(pick_phong, p_dir, d_dir)
-    x_cos = jnp.where(pick_phong, p_cos, d_cos)
-    de = _diffuse_eval(mat)
-    dp = cosine_hemisphere_pdf(positive_cos(x_dir, n))
-    pe, pp = _phong_eval_pdf(mat, surf, x_dir, out_dir)
-    chosen_color = vm.where(pick_phong, p_color, d_color)
-    chosen_pdf = jnp.where(pick_phong, p_pdf_v, d_pdf)
-    other_color = vm.where(pick_phong, de, pe)
-    other_pdf = jnp.where(pick_phong, dp, pp)
-    x_color = vm.where(pick_phong,
-                       vm.lerp(other_color, chosen_color, k),
-                       vm.lerp(chosen_color, other_color, k))
-    x_pdf = jnp.where(pick_phong,
-                      other_pdf + (chosen_pdf - other_pdf) * k,
-                      chosen_pdf + (other_pdf - chosen_pdf) * k)
+    branches = []  # (kind, dir, pdf, cos, color)
+    if DIFFUSE in want:
+        branches.append((DIFFUSE, d_dir, d_pdf, d_cos, d_color))
 
-    in_dir = vm.where(kind == DIFFUSE, d_dir,
-             vm.where(kind == PHONG, p_dir,
-             vm.where(kind == MIRROR, m_dir,
-             vm.where(kind == GLASS, g_dir,
-             vm.where(kind == MIX, x_dir, out_dir)))))
-    pdf = jnp.where(kind == DIFFUSE, d_pdf,
-          jnp.where(kind == PHONG, p_pdf_v,
-          jnp.where(kind == MIRROR, m_pdf,
-          jnp.where(kind == GLASS, g_pdf,
-          jnp.where(kind == MIX, x_pdf, 1.0)))))
-    cos = jnp.where(kind == DIFFUSE, d_cos,
-          jnp.where(kind == PHONG, p_cos,
-          jnp.where(kind == MIRROR, 1.0,
-          jnp.where(kind == GLASS, 1.0,
-          jnp.where(kind == MIX, x_cos, 1.0)))))
-    zero = vm.splat((0.0, 0.0, 0.0), like=pdf)
-    color = vm.where(kind == DIFFUSE, d_color,
-            vm.where(kind == PHONG, p_color,
-            vm.where(kind == MIRROR, m_color,
-            vm.where(kind == GLASS, g_color,
-            vm.where(kind == MIX, x_color, zero)))))
+    if PHONG in want:
+        branches.append((PHONG, p_dir, p_pdf_v, p_cos, p_color))
+
+    if MIRROR in want:
+        m_pdf, m_color = _validate(surf, refl, ones, mat["ks"], falsem)
+        branches.append((MIRROR, refl, m_pdf, ones, m_color))
+
+    if GLASS in want:
+        # --- glass (adjoint=false as in the path tracer) ---
+        k_ior = jnp.where(surf["is_entering"], 1.0 / mat["ni"], mat["ni"])
+        cos_i = vm.dot(out_dir, n)
+        cos2_t = 1.0 - k_ior * k_ior * (1.0 - cos_i * cos_i)
+        cos_t = jnp.sqrt(jnp.maximum(cos2_t, 0.0))
+        f_s = (k_ior * cos_i - cos_t) / jnp.maximum(
+            k_ior * cos_i + cos_t, 1e-30)
+        f_p = (cos_i - k_ior * cos_t) / jnp.maximum(
+            cos_i + k_ior * cos_t, 1e-30)
+        fresnel = 0.5 * (f_s * f_s + f_p * f_p)
+        refr_dir = vm.sub(vm.scale(n, k_ior * cos_i - cos_t),
+                          vm.scale(out_dir, k_ior))
+        refract = (cos2_t > 0.0) & (u0 > fresnel)
+        g_dir = vm.where(refract, refr_dir, refl)
+        g_color = vm.where(refract, mat["tf"], mat["ks"])
+        g_pdf, g_color = _validate(surf, g_dir, ones, g_color, refract)
+        branches.append((GLASS, g_dir, g_pdf, ones, g_color))
+
+    if MIX in want:
+        # --- mix(diffuse, phong, k): pick a lobe, combine pdfs/colors ---
+        k = mat["mix_k"]
+        pick_phong = u0 < k  # reference: randf >= k -> mat1 (diffuse)
+        x_dir = vm.where(pick_phong, p_dir, d_dir)
+        x_cos = jnp.where(pick_phong, p_cos, d_cos)
+        de = _diffuse_eval(mat)
+        dp = cosine_hemisphere_pdf(positive_cos(x_dir, n))
+        pe, pp = _phong_eval_pdf(mat, surf, x_dir, out_dir)
+        chosen_color = vm.where(pick_phong, p_color, d_color)
+        chosen_pdf = jnp.where(pick_phong, p_pdf_v, d_pdf)
+        other_color = vm.where(pick_phong, de, pe)
+        other_pdf = jnp.where(pick_phong, dp, pp)
+        x_color = vm.where(pick_phong,
+                           vm.lerp(other_color, chosen_color, k),
+                           vm.lerp(chosen_color, other_color, k))
+        x_pdf = jnp.where(pick_phong,
+                          other_pdf + (chosen_pdf - other_pdf) * k,
+                          chosen_pdf + (other_pdf - chosen_pdf) * k)
+        branches.append((MIX, x_dir, x_pdf, x_cos, x_color))
+
+    if len(want) == 1 and branches:
+        # every lane is this kind: no dispatch selects at all
+        _, in_dir, pdf, cos, color = branches[0]
+        return in_dir, pdf, cos, color, rnd
+
+    # default (BLACK / absent): in_dir=out_dir, pdf=1, cos=1, color=0
+    in_dir, pdf, cos = out_dir, ones, ones
+    color = vm.splat((0.0, 0.0, 0.0), like=u0)
+    for kval, bd, bp, bc, bcol in reversed(branches):
+        m = kind == kval
+        in_dir = vm.where(m, bd, in_dir)
+        pdf = jnp.where(m, bp, pdf)
+        cos = jnp.where(m, bc, cos)
+        color = vm.where(m, bcol, color)
     return in_dir, pdf, cos, color, rnd

@@ -137,6 +137,12 @@ def _build_device(mesh, mat_params, lights, light_ids, bvh, max_path_len,
         "light_ids": jnp.asarray(light_ids),
         "num_lights": num_lights,
         "max_path_len": max_path_len,
+        # static kind set: lets the integrator's jit prune the masked
+        # BSDF dispatch to the kinds this scene actually uses (the
+        # generated-code-only-contains-used-materials specialization,
+        # converter.cpp:683-709)
+        "mat_kinds": bsdf_mod.KindSet(
+            tuple(sorted({int(p["kind"]) for p in mat_params}))),
     }
     if tex_images:
         from . import texture as tx

@@ -270,7 +270,8 @@ def _shade(scene, rays, hit, state, packet=False):
     inv_d = 1.0 / jnp.maximum(vm.length(light_vec), 1e-30)
     inv_d2 = inv_d * inv_d
     in_dir = vm.scale(light_vec, inv_d)
-    pdf_e_c, pdf_e = bsdf_mod.eval_pdf(mat, surf, in_dir, out_dir)
+    pdf_e_c, pdf_e = bsdf_mod.eval_pdf(mat, surf, in_dir, out_dir,
+                                       kinds=scene.get("mat_kinds"))
     pdf_e = jnp.where(ls["has_area"], pdf_e, 0.0)
     pdf_l = ls["pdf_area"] * pdf_lightpick
     inv_pdf_l = 1.0 / pdf_l
@@ -295,7 +296,8 @@ def _shade(scene, rays, hit, state, packet=False):
     rr = jnp.minimum(2.0 * vm.luminance(state["contrib"]), 0.75)
     u_rr, rnd = randf(rnd)
     continue_ = alive & (state["depth"] < scene["max_path_len"]) & (u_rr < rr)
-    new_dir, pdf, cos, color, rnd = bsdf_mod.sample(mat, surf, rnd, out_dir)
+    new_dir, pdf, cos, color, rnd = bsdf_mod.sample(
+        mat, surf, rnd, out_dir, kinds=scene.get("mat_kinds"))
     spec = bsdf_mod.is_specular(mat)
     contrib = vm.scale(vm.mul(state["contrib"], color),
                        cos / jnp.maximum(pdf * rr, 1e-30))
