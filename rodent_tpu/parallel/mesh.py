@@ -56,9 +56,15 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
     n_sp = mesh.shape["sp"]
     n_px = mesh.shape["px"]
     total = width * height
-    assert total % n_px == 0, "pixel count must divide the px axis"
     assert spp % n_sp == 0, "spp must divide the sp axis"
-    local = total // n_px
+    # uneven W*H: pad the film to a multiple of the px axis; the padded
+    # strips trace wasted rays for out-of-image pixel ids but write only
+    # their own padded rows, which are sliced off below
+    local = -(-total // n_px)
+    total_pad = local * n_px
+    if total_pad != total:
+        film = jnp.concatenate(
+            [film, jnp.zeros((total_pad - total, 3), film.dtype)])
     spp_local = spp // n_sp
 
     film_sharding = NamedSharding(mesh, P("px"))
@@ -74,7 +80,9 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
     def step(scene_local, film_local):
         px_rank = jax.lax.axis_index("px")
         sp_rank = jax.lax.axis_index("sp")
-        pixel_ids = px_rank * local + jnp.arange(local, dtype=jnp.int32)
+        pixel_ids = jnp.minimum(
+            px_rank * local + jnp.arange(local, dtype=jnp.int32),
+            total - 1)
 
         def body(i, f):
             s = sp_rank * spp_local + i
@@ -87,7 +95,48 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
         # accumulate semantics, mapping_cpu.impala:365-370)
         return film_local + jax.lax.psum(partial_film, "sp") * (1.0 / spp)
 
-    return jax.jit(step)(scene, film)
+    out = jax.jit(step)(scene, film)
+    return out[:total] if total_pad != total else out
+
+
+def render_iteration_persistent_sharded(scene, camera, film, width,
+                                        height, spp, iteration, mesh,
+                                        pool=None, packet=False):
+    """Persistent-wavefront iteration over the mesh: each px shard runs
+    the regeneration pool on its own pixel strip (strip-local film
+    splats), each sp rank traces a disjoint sample range, partials psum
+    over "sp". Bit-identical to the single-device persistent film (RNG
+    seeds depend only on sample/iter/pixel)."""
+    from ..render.integrator import render_iteration_persistent
+
+    n_sp = mesh.shape["sp"]
+    n_px = mesh.shape["px"]
+    total = width * height
+    assert spp % n_sp == 0, "spp must divide the sp axis"
+    local = -(-total // n_px)
+    total_pad = local * n_px
+    if total_pad != total:
+        film = jnp.concatenate(
+            [film, jnp.zeros((total_pad - total, 3), film.dtype)])
+    spp_local = spp // n_sp
+
+    film = jax.device_put(film, NamedSharding(mesh, P("px")))
+    scene = shard_scene(scene, mesh)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("px")),
+             out_specs=P("px"), check_vma=False)
+    def step(scene_local, film_local):
+        px_rank = jax.lax.axis_index("px")
+        sp_rank = jax.lax.axis_index("sp")
+        delta = render_iteration_persistent(
+            scene_local, camera, jnp.zeros_like(film_local), width,
+            height, spp_local, iteration, pool=pool, packet=packet,
+            pixel_lo=px_rank * local, n_pixels=local,
+            sample_lo=sp_rank * spp_local, spp_weight=1.0 / spp)
+        return film_local + jax.lax.psum(delta, "sp")
+
+    out = jax.jit(step)(scene, film)
+    return out[:total] if total_pad != total else out
 
 
 def traverse_sharded(dev, rays, mesh=None, any_hit=False):
@@ -102,7 +151,14 @@ def traverse_sharded(dev, rays, mesh=None, any_hit=False):
     n_dev = mesh.devices.size
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("rays",))
     b = rays["org"].shape[0]
-    assert b % n_dev == 0, "ray count must divide the device count"
+    # uneven batches: pad with dead rays (tmax < tmin skips traversal)
+    b_pad = -(-b // n_dev) * n_dev
+    if b_pad != b:
+        def padded(k, x):
+            fill = -1.0 if k == "tmax" else 0.0
+            return jnp.concatenate(
+                [x, jnp.full((b_pad - b,) + x.shape[1:], fill, x.dtype)])
+        rays = {k: padded(k, v) for k, v in rays.items()}
 
     @partial(jax.shard_map, mesh=flat, in_specs=(P(), P("rays")),
              out_specs=P("rays"), check_vma=False)
@@ -112,7 +168,11 @@ def traverse_sharded(dev, rays, mesh=None, any_hit=False):
     # dev as replicated argument, not closure capture (see
     # render_iteration_sharded): constants don't scale to 0.5 GB BVHs
     repl = NamedSharding(flat, P())
-    dev = jax.tree.map(lambda x: jax.device_put(x, repl), dev)
+    dev = jax.tree.map(lambda x: jax.device_put(x, repl)
+                       if hasattr(x, "shape") else x, dev)
     sharding = NamedSharding(flat, P("rays"))
     rays = jax.tree.map(lambda x: jax.device_put(x, sharding), rays)
-    return jax.jit(step)(dev, rays)
+    out = jax.jit(step)(dev, rays)
+    if b_pad != b:
+        out = {k: v[:b] for k, v in out.items()}
+    return out

@@ -446,10 +446,12 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
 
 
 @partial(jax.jit, static_argnames=("camera", "width", "height", "spp",
-                                   "pool", "packet"),
+                                   "pool", "packet", "n_pixels"),
          donate_argnames=("film",))
 def render_iteration_persistent(scene, camera, film, width, height, spp,
-                                iteration, pool=None, packet=False):
+                                iteration, pool=None, packet=False,
+                                pixel_lo=0, n_pixels=None, sample_lo=0,
+                                spp_weight=None):
     """Persistent-wavefront iteration: the TPU form of the reference's
     megakernel regeneration trick (gpu_mega_kernel_trace,
     src/render/mapping_gpu.impala:371-474 — dead paths immediately pull
@@ -459,8 +461,20 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     the iteration; when a path terminates, its slot re-emits a camera ray
     for the next unprocessed sample. RNG seeds depend only on
     (sample, iter, x, y) (renderer.impala:27-33), so the film is
-    bit-identical to render_iteration's."""
-    total = width * height * spp
+    bit-identical to render_iteration's.
+
+    Sharding hooks (parallel.mesh render_iteration_persistent_sharded):
+    pixel_lo/n_pixels restrict the pass to a contiguous pixel strip
+    [pixel_lo, pixel_lo + n_pixels) of the global image (pixel_lo may be
+    traced, e.g. an axis_index expression); sample_lo offsets the
+    per-pixel sample ids (sample-parallel axis); spp_weight overrides the
+    film accumulation weight (1/spp_total instead of 1/spp_local). When
+    film has n_pixels rows (a local shard), splats use strip-local
+    indices."""
+    n_pixels = n_pixels or width * height
+    total = n_pixels * spp
+    weight = spp_weight if spp_weight is not None else (1.0 / spp)
+    local_film = film.shape[0] == n_pixels
     # pool sweep (cornell 1080x720x4spp, v5e, Msamples/s): 8K 5.9 |
     # 16K 6.3 | **32K 6.3** | 64K 6.0 | 128K 5.2 | 256K 3.8 | 512K 2.6 |
     # 1M 1.5 | pool=total 0.6. Small pools win: per-step cost grows
@@ -472,8 +486,8 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     r = num_tiles(pool)
 
     def emit_rays(sample_id):
-        pix = jnp.minimum(sample_id // spp, width * height - 1)
-        s = sample_id % spp
+        pix = pixel_lo + jnp.minimum(sample_id // spp, n_pixels - 1)
+        s = sample_lo + sample_id % spp
         org, d, rnd = _emit_camera(camera, width, height, s, iteration,
                                    pix)
         return org, d, rnd, pix
@@ -511,8 +525,8 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         # retire finished paths: splat their accumulated radiance
         # (weighted 1/spp: the film holds per-iteration means,
         # mapping_cpu.impala:365-370)
-        film = _splat(film, state["pixel"],
-                      vm.scale(state["acc"], 1.0 / spp), dead)
+        fidx = state["pixel"] - pixel_lo if local_film else state["pixel"]
+        film = _splat(film, fidx, vm.scale(state["acc"], weight), dead)
         zerov = vm.splat((0.0, 0.0, 0.0), like=state["mis"])
         state = dict(state, acc=vm.where(dead, zerov, state["acc"]))
         flat_dead = dead.reshape(-1)
@@ -551,7 +565,7 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         "next_free": next_free})
     # slots that ran out of samples never hit the dead-splat in body
     fstate = out["state"]
-    film = _splat(out["film"], fstate["pixel"],
-                  vm.scale(fstate["acc"], 1.0 / spp),
+    fidx = fstate["pixel"] - pixel_lo if local_film else fstate["pixel"]
+    film = _splat(out["film"], fidx, vm.scale(fstate["acc"], weight),
                   tile(jnp.ones(pool, jnp.int32), r) == 1)
     return film

@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--dists", default="primary,ao,bounces")
     p.add_argument("--variants", default="packet,hbm,tiled")
     p.add_argument("--rays", type=int, default=1024 * 1024)
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--iters", type=int, default=5)
     p.add_argument("--sizes", default="",
                    help="override scene sizes: hall=100000,crown=500000")
     p.add_argument("--cpu", action="store_true")
@@ -137,16 +137,26 @@ def main(argv=None):
                                e(d, r, a))
                 out = fn_t(dev, srt)
                 _ = np.asarray(out["t"][:128])
-                t0 = time.perf_counter()
+                # per-iteration timing, avg/median/min like the reference
+                # harness (bench_traversal.cpp:336-391); the ±8% band on
+                # the tunneled chip (ROADMAP) makes single numbers
+                # meaningless. Each sample forces a small host fetch
+                # (remote-backend block_until_ready returns early).
+                times = []
                 for _ in range(args.iters):
+                    t0 = time.perf_counter()
                     out = fn_t(dev, srt)
-                _ = np.asarray(out["t"][:128])
-                dt = (time.perf_counter() - t0) / args.iters
+                    _ = np.asarray(out["t"][:128])
+                    times.append(time.perf_counter() - t0)
+                times = np.asarray(times)
+                mr = n / times / 1e6
                 hits = int(np.asarray(
                     (out["prim_id"] >= 0)).sum())
                 print(f"{scene} : {dist} : {variant} : "
-                      f"{n / dt / 1e6:.2f} Mrays "
-                      f"({hits} intersections)", flush=True)
+                      f"{np.median(mr):.2f} Mrays "
+                      f"(avg {mr.mean():.2f}, min {mr.min():.2f}, "
+                      f"max {mr.max():.2f}, n={args.iters}; "
+                      f"{hits} intersections)", flush=True)
 
 
 if __name__ == "__main__":
