@@ -33,6 +33,38 @@ def pad_mask(b, r=None):
     return tile(jnp.ones(b, jnp.int32), r) == 1
 
 
+# Row gathers ride a fast XLA path only while the table stays under
+# ~28K rows AND ~11 MB (measured v5e: 2.5 ns/row vs 10.6 beyond, width-
+# independent; ROADMAP round-3 study). Tables up to 3x that limit are
+# cheaper gathered as 2-3 sub-table gathers + select (4.9 ns/row for 2
+# shards); at >=4 shards the per-shard full-batch cost breaks even with
+# the slow path, so large tables fall back to one plain gather.
+SHARD_ROWS = 22528
+
+
+def shard_count(n_rows):
+    """How many row shards gather_rows will use (1 = plain gather)."""
+    n = -(-n_rows // SHARD_ROWS)
+    return n if 2 <= n <= 3 else 1
+
+
+def gather_rows(table, idx_flat):
+    """(N, C) x (B,) i32 -> (B, C), automatically row-sharded when the
+    table sits in the slow-gather regime but within 3 shards."""
+    n, _c = table.shape
+    nsh = shard_count(n)
+    if nsh == 1:
+        return table[idx_flat]
+    s = -(-n // nsh)
+    out = None
+    for i in range(nsh):
+        loc = jnp.clip(idx_flat - i * s, 0, min(s, n - i * s) - 1)
+        g = table[i * s:min((i + 1) * s, n)][loc]
+        out = g if out is None else jnp.where(
+            (idx_flat >= i * s)[:, None], g, out)
+    return out
+
+
 def gather_cols(table, idx):
     """Flat row gather + relayout to component-major.
 
@@ -40,5 +72,5 @@ def gather_cols(table, idx):
     component is a full-tile slice (single efficient gather + one
     transpose; per-component gathers or multi-dim rows are 100x slower)."""
     r = idx.shape[0]
-    rows = table[idx.reshape(r * 128)]
+    rows = gather_rows(table, idx.reshape(r * 128))
     return rows.T.reshape(table.shape[1], r, 128)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..render.integrator import render_sample
+from ..utils.compile import rjit
 
 
 def make_mesh(n_px=None, n_sp=1, devices=None):
@@ -95,7 +96,7 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
         # accumulate semantics, mapping_cpu.impala:365-370)
         return film_local + jax.lax.psum(partial_film, "sp") * (1.0 / spp)
 
-    out = jax.jit(step)(scene, film)
+    out = rjit(step)(scene, film)
     return out[:total] if total_pad != total else out
 
 
@@ -135,7 +136,7 @@ def render_iteration_persistent_sharded(scene, camera, film, width,
             sample_lo=sp_rank * spp_local, spp_weight=1.0 / spp)
         return film_local + jax.lax.psum(delta, "sp")
 
-    out = jax.jit(step)(scene, film)
+    out = rjit(step)(scene, film)
     return out[:total] if total_pad != total else out
 
 
@@ -172,7 +173,7 @@ def traverse_sharded(dev, rays, mesh=None, any_hit=False):
                        if hasattr(x, "shape") else x, dev)
     sharding = NamedSharding(flat, P("rays"))
     rays = jax.tree.map(lambda x: jax.device_put(x, sharding), rays)
-    out = jax.jit(step)(dev, rays)
+    out = rjit(step)(dev, rays)
     if b_pad != b:
         out = {k: v[:b] for k, v in out.items()}
     return out

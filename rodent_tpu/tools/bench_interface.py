@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+from ..utils.compile import rjit
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bench_interface")
@@ -64,7 +66,7 @@ def main(argv=None):
             return tx.sample_texture(img, uv, border=tx.BORDER_REPEAT,
                                      filter=tx.FILTER_BILINEAR)
 
-    f = jax.jit(sample)
+    f = rjit(sample)
     o = f(uv)
     jax.block_until_ready(o)
     times = []

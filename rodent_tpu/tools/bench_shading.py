@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+from ..utils.compile import rjit
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bench_shading")
@@ -89,7 +91,7 @@ def main(argv=None):
                        vm.splat((1.0, 1.0, 1.0), like=pdf))
         return vm.scale(mixed, pdf + cos + pv)[0], rnd
 
-    f = jax.jit(shade)
+    f = rjit(shade)
     o, rnd = f(rnd0)
     jax.block_until_ready(o)
     times = []

@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+from ..utils.compile import rjit
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bench_traversal")
@@ -93,13 +95,13 @@ def main(argv=None):
                 [v, jnp.full((pad,) + v.shape[1:],
                              -1.0 if k == "tmax" else 0.0, v.dtype)])
                 for k, v in rays.items()}
-        fn = jax.jit(lambda rr: traverse_sharded(dev, rr, mesh=mesh,
+        fn = rjit(lambda rr: traverse_sharded(dev, rr, mesh=mesh,
                                                  any_hit=args.any))
     elif args.variant == "packet":
-        fn = jax.jit(lambda rr: traverse_packet(dev, rr,
+        fn = rjit(lambda rr: traverse_packet(dev, rr,
                                                 any_hit=args.any))
     else:
-        fn = jax.jit(lambda rr: traverse_tiled(dev, rr,
+        fn = rjit(lambda rr: traverse_tiled(dev, rr,
                                                any_hit=args.any))
     hit = None
     for _ in range(max(args.warmup, 1)):

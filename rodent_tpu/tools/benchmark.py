@@ -58,6 +58,7 @@ def main(argv=None):
     from ..traversal.tiled import traverse_tiled
     from ..traversal.sorting import sort_rays
     from ..utils import testscenes
+    from ..utils.compile import rjit
     from ..utils.testscenes import hall_secondary_rays
 
     sizes = {}
@@ -133,7 +134,7 @@ def main(argv=None):
                 # the remote-compile request) and timing forces a small
                 # host fetch (block_until_ready returns early on some
                 # remote-backend programs)
-                fn_t = jax.jit(lambda d, r, e=engines[variant], a=ah:
+                fn_t = rjit(lambda d, r, e=engines[variant], a=ah:
                                e(d, r, a))
                 out = fn_t(dev, srt)
                 _ = np.asarray(out["t"][:128])

@@ -170,7 +170,7 @@ def _node_test(dev, rays, nidx, t_cur):
     """Gathers one node row per ray and slab-tests all child slots.
     Returns (children (B, A) i32, entry (B, A), hit mask (B, A))."""
     a = dev["nodes"].shape[1] // 7
-    row = dev["nodes"][nidx]  # (B, 7A?) single flat gather
+    row = dev["nodes"][nidx]  # (B, 7A) single flat gather
     ix = rays["inv_dir"][:, 0:1]
     iy = rays["inv_dir"][:, 1:2]
     iz = rays["inv_dir"][:, 2:3]
@@ -207,7 +207,7 @@ def _leaf_test(dev, rays, pidx, t_cur):
     Returns per-lane (hit, t, u, v, prim, geom) plus the packet's is_last
     flag."""
     m = dev["tris"].shape[1] // 14
-    row = dev["tris"][pidx]  # (B, 14M?) single flat gather
+    row = dev["tris"][pidx]  # (B, 14M) single flat gather
 
     def v3(base):
         return (row[:, base:base + m], row[:, base + m:base + 2 * m],

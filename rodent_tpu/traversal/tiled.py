@@ -60,7 +60,8 @@ LEAF_STACK_DEPTH = 16
 
 
 def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
-                        any_hit=False, stack_depth=None):
+                        any_hit=False, stack_depth=None,
+                        debug_counters=False):
     """Component-level traversal: org/dirv/inv_d/inv_o are Vec3 tuples of
     (R, 128) arrays, tmin/tmax (R, 128). Returns a hit dict of (R, 128)
     arrays {t, u, v, prim_id, geom_id}; rays with tmax < tmin are skipped
@@ -103,10 +104,23 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
         "prim_id": jnp.full((R, 128), -1, jnp.int32),
         "geom_id": jnp.full((R, 128), -1, jnp.int32),
     }
+    if debug_counters:
+        # iters: loop trips; leaf_iters: trips whose leaf unit fired;
+        # live_sum: sum over trips of live-ray count (the pay-mean-not-max
+        # headroom: work_done/B vs iters)
+        state["iters"] = jnp.zeros((), jnp.int32)
+        state["leaf_iters"] = jnp.zeros((), jnp.int32)
+        state["live_sum"] = jnp.zeros((), jnp.float32)
 
     def gather_cols(table, idx):
         """Flat row gather + relayout to component-major (C, R, 128)."""
-        rows = table[idx.reshape(R * 128)]          # (B', C)
+        # NOTE: core.tiles.gather_rows (row-sharded) wins 2.16x on hall's
+        # 43K-row Tri8 table in isolation but measured 20% SLOWER composed
+        # into this loop body (the shard-select materializes (B, C)
+        # intermediates that break XLA's gather->transpose fusion), so the
+        # loop keeps plain gathers and attacks the cost by gating how
+        # often the leaf unit fires instead.
+        rows = table[idx.reshape(R * 128)]                # (B', C)
         return rows.T.reshape(table.shape[1], R, 128)
 
     def pop(stack_list, ptr, can):
@@ -126,10 +140,93 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
         nptr, lptr = state["nptr"], state["lptr"]
         t_cur = state["t"]
 
-        # ---- leaf unit: pop one packet (from the previous iteration) ----
-        can_leaf = lptr > 0
-        lcode, lptr = pop(lstack, lptr, can_leaf)
-        is_leaf = lcode < 0
+        # ---- leaf-unit gate (round 3): leaf pops are only ~2-2.6/ray
+        # while node pops are ~9.5-12 (ROADMAP study), yet the leaf unit's
+        # tri-row gather + M-lane MT test used to run EVERY iteration —
+        # the single biggest line item on incoherent distributions. Serve
+        # the leaf unit only when the global backlog is worth a batch
+        # (>= live/4) or when no node can progress without it (rays whose
+        # node unit stalls on a near-full leaf stack — the progress
+        # guarantee). lax.cond executes one branch, so gated-off
+        # iterations skip the gather entirely.
+        has_leaf = lptr > 0
+        leaf_cnt = jnp.sum(has_leaf.astype(jnp.int32))
+        live_cnt = jnp.sum(((nptr > 0) | has_leaf).astype(jnp.int32))
+        node_ok = jnp.sum(((nptr > 0)
+                           & (lptr + arity + 1 <= S_L)).astype(jnp.int32))
+        do_leaf = (leaf_cnt * 4 >= live_cnt) | ((node_ok == 0)
+                                                & (leaf_cnt > 0))
+
+        # ---- leaf unit (conditional): pop one packet per ray, gather its
+        # tri rows, MT-test M lanes, write multi-packet continuations ----
+        def leaf_unit(operand):
+            lstack_t, lptr0, t0, u0, v0, p0, g0 = operand
+            lstack_l = list(lstack_t)
+            can_leaf = lptr0 > 0
+            lcode, lptr1 = pop(lstack_l, lptr0, can_leaf)
+            is_leaf = lcode < 0
+            pidx = jnp.where(is_leaf, ~lcode, 0)
+            tc = gather_cols(dev["tris"], pidx)     # (14M, R, 128)
+            best = None
+            for lane in range(m):
+                v0x, v0y, v0z = tc[lane], tc[m + lane], tc[2 * m + lane]
+                e1x, e1y, e1z = (tc[3 * m + lane], tc[4 * m + lane],
+                                 tc[5 * m + lane])
+                e2x, e2y, e2z = (tc[6 * m + lane], tc[7 * m + lane],
+                                 tc[8 * m + lane])
+                nx, ny, nz = (tc[9 * m + lane], tc[10 * m + lane],
+                              tc[11 * m + lane])
+                pid = jax.lax.bitcast_convert_type(tc[12 * m + lane],
+                                                   jnp.int32)
+                gid = jax.lax.bitcast_convert_type(tc[13 * m + lane],
+                                                   jnp.int32)
+                cx, cy, cz = v0x - org[0], v0y - org[1], v0z - org[2]
+                rx = dirv[1] * cz - dirv[2] * cy
+                ry = dirv[2] * cx - dirv[0] * cz
+                rz = dirv[0] * cy - dirv[1] * cx
+                det = nx * dirv[0] + ny * dirv[1] + nz * dirv[2]
+                abs_det = jnp.abs(det)
+                sign = jnp.where(det < 0, jnp.float32(-1.0),
+                                 jnp.float32(1.0))
+                u = (rx * e2x + ry * e2y + rz * e2z) * sign
+                v = (rx * e1x + ry * e1y + rz * e1z) * sign
+                t = (cx * nx + cy * ny + cz * nz) * sign
+                ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= abs_det)
+                      & (abs_det != 0.0)
+                      & (t >= abs_det * tmin) & (t <= abs_det * t0)
+                      & (pid != -1) & is_leaf)
+                inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
+                key = jnp.where(ok, t * inv_det, jnp.inf)
+                cand = (key, u * inv_det, v * inv_det,
+                        pid & 0x7FFFFFFF, gid)
+                if best is None:
+                    best = cand
+                else:
+                    takeb = cand[0] < best[0]
+                    best = tuple(jnp.where(takeb, c, b)
+                                 for c, b in zip(cand, best))
+                if lane == m - 1:
+                    is_last = pid < 0
+
+            bk, bu, bv, bp, bg = best
+            upd = jnp.isfinite(bk)
+            cont = is_leaf & ~is_last
+            cont_pos = jnp.where(cont, lptr1, -1)
+            for si in range(S_L):
+                lstack_l[si] = jnp.where(cont_pos == si, lcode - 1,
+                                         lstack_l[si])
+            return (tuple(lstack_l), lptr1 + cont.astype(jnp.int32),
+                    jnp.where(upd, bk, t0), jnp.where(upd, bu, u0),
+                    jnp.where(upd, bv, v0), jnp.where(upd, bp, p0),
+                    jnp.where(upd, bg, g0))
+
+        (lstack, lptr, t_cur, n_u, n_v, n_p, n_g) = jax.lax.cond(
+            do_leaf, leaf_unit, lambda op: op,
+            (tuple(lstack), lptr, t_cur, state["u"], state["v"],
+             state["prim_id"], state["geom_id"]))
+        lstack = list(lstack)
+        new = {"t": t_cur, "u": n_u, "v": n_v, "prim_id": n_p,
+               "geom_id": n_g}
 
         # ---- node unit: pop one inner node; stall if the leaf stack
         # could overflow this iteration (cont + arity pushes) ----
@@ -184,78 +281,21 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
             k_n = k_n + inner_hit[i].astype(jnp.int32)
             k_l = k_l + leaf_hit[i].astype(jnp.int32)
 
-        # ---- leaf (tri packet) test on lcode ----
-        pidx = jnp.where(is_leaf, ~lcode, 0)
-        tc = gather_cols(dev["tris"], pidx)         # (14M, R, 128)
-        best = None
-        for lane in range(m):
-            v0x, v0y, v0z = tc[lane], tc[m + lane], tc[2 * m + lane]
-            e1x, e1y, e1z = (tc[3 * m + lane], tc[4 * m + lane],
-                             tc[5 * m + lane])
-            e2x, e2y, e2z = (tc[6 * m + lane], tc[7 * m + lane],
-                             tc[8 * m + lane])
-            nx, ny, nz = (tc[9 * m + lane], tc[10 * m + lane],
-                          tc[11 * m + lane])
-            pid = jax.lax.bitcast_convert_type(tc[12 * m + lane], jnp.int32)
-            gid = jax.lax.bitcast_convert_type(tc[13 * m + lane], jnp.int32)
-
-            cx, cy, cz = v0x - org[0], v0y - org[1], v0z - org[2]
-            rx = dirv[1] * cz - dirv[2] * cy
-            ry = dirv[2] * cx - dirv[0] * cz
-            rz = dirv[0] * cy - dirv[1] * cx
-            det = nx * dirv[0] + ny * dirv[1] + nz * dirv[2]
-            abs_det = jnp.abs(det)
-            sign = jnp.where(det < 0, jnp.float32(-1.0), jnp.float32(1.0))
-            u = (rx * e2x + ry * e2y + rz * e2z) * sign
-            v = (rx * e1x + ry * e1y + rz * e1z) * sign
-            t = (cx * nx + cy * ny + cz * nz) * sign
-            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= abs_det)
-                  & (abs_det != 0.0)
-                  & (t >= abs_det * tmin) & (t <= abs_det * t_cur)
-                  & (pid != -1) & is_leaf)
-            inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
-            key = jnp.where(ok, t * inv_det, jnp.inf)
-            cand = (key, u * inv_det, v * inv_det,
-                    pid & 0x7FFFFFFF, gid)
-            if best is None:
-                best = cand
-            else:
-                takeb = cand[0] < best[0]
-                best = tuple(jnp.where(takeb, c, b)
-                             for c, b in zip(cand, best))
-            if lane == m - 1:
-                is_last = pid < 0
-
-        bk, bu, bv, bp, bg = best
-        upd = jnp.isfinite(bk)
-        t_cur = jnp.where(upd, bk, t_cur)
-        new = {
-            "t": t_cur,
-            "u": jnp.where(upd, bu, state["u"]),
-            "v": jnp.where(upd, bv, state["v"]),
-            "prim_id": jnp.where(upd, bp, state["prim_id"]),
-            "geom_id": jnp.where(upd, bg, state["geom_id"]),
-        }
-
-        # ---- leaf-stack writes: multi-packet continuation first, then
-        # this node's leaf children (order within the stack irrelevant) ----
-        cont = is_leaf & ~is_last
+        # ---- leaf-stack writes: this node's leaf children (the popped
+        # packet's continuation was written inside the leaf unit) ----
         lpos = []
         lvals = []
-        base = lptr + cont.astype(jnp.int32)
         lrank = zero
         for i in range(arity):
-            lpos.append(jnp.where(leaf_hit[i], base + lrank, -1))
+            lpos.append(jnp.where(leaf_hit[i], lptr + lrank, -1))
             lvals.append(children[i])
             lrank = lrank + leaf_hit[i].astype(jnp.int32)
-        cont_pos = jnp.where(cont, lptr, -1)
         for si in range(S_L):
             v = lstack[si]
-            v = jnp.where(cont_pos == si, lcode - 1, v)
             for i in range(arity):
                 v = jnp.where(lpos[i] == si, lvals[i], v)
             lstack[si] = v
-        lptr = base + jnp.where(is_node, k_l, 0)
+        lptr = lptr + jnp.where(is_node, k_l, 0)
 
         # ---- node-stack pushes: nearest inner child ends on top ----
         nrank = zero
@@ -275,17 +315,28 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
             nptr = jnp.where(done, 0, nptr)
             lptr = jnp.where(done, 0, lptr)
 
-        return {"nstack": tuple(nstack), "lstack": tuple(lstack),
-                "nptr": nptr, "lptr": lptr, **new}
+        out = {"nstack": tuple(nstack), "lstack": tuple(lstack),
+               "nptr": nptr, "lptr": lptr, **new}
+        if debug_counters:
+            out["iters"] = state["iters"] + 1
+            out["leaf_iters"] = state["leaf_iters"] + do_leaf.astype(
+                jnp.int32)
+            out["live_sum"] = state["live_sum"] + live_cnt.astype(
+                jnp.float32)
+        return out
 
     state = jax.lax.while_loop(cond, body, state)
     out = {k: state[k] for k in ("t", "u", "v", "prim_id", "geom_id")}
     # miss semantics: t == original tmax
     out["t"] = jnp.where(out["prim_id"] < 0, tmax, out["t"])
+    if debug_counters:
+        out["counters"] = {k: state[k] for k in ("iters", "leaf_iters",
+                                                 "live_sum")}
     return out
 
 
-def traverse_tiled(dev, rays, any_hit=False, stack_depth=None):
+def traverse_tiled(dev, rays, any_hit=False, stack_depth=None,
+                   debug_counters=False):
     """Row-layout wrapper over traverse_components; same contract as
     api.traverse."""
     B = rays["org"].shape[0]
@@ -304,13 +355,17 @@ def traverse_tiled(dev, rays, any_hit=False, stack_depth=None):
         pad_dead = _tile(jnp.ones(B, jnp.int32), R) == 0
         tmax = jnp.where(pad_dead, -1.0, tmax)
     out = traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
-                              any_hit=any_hit, stack_depth=stack_depth)
+                              any_hit=any_hit, stack_depth=stack_depth,
+                              debug_counters=debug_counters)
+    counters = out.pop("counters", None)
 
     def untile(x):
         return x.reshape(R * 128)[:B]
 
     out = {k: untile(v) for k, v in out.items()}
     out["t"] = jnp.where(out["prim_id"] < 0, rays["tmax"], out["t"])
+    if counters is not None:
+        out["counters"] = counters
     return out
 
 
