@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..core import vmath as vm
 from ..core.rng import randf, seed_camera_rays
 from ..core.tiles import gather_cols, num_tiles, tile
+from ..utils.compile import rjit
 from ..traversal.pallas_packet import traverse_packet_components
 from ..traversal.tiled import traverse_components
 from . import bsdf as bsdf_mod
@@ -213,6 +214,19 @@ def _splat(film, pixel, color, mask):
     idx = jnp.where(mask, pixel, film.shape[0]).reshape(r * 128)
     rows = jnp.stack([c.reshape(r * 128) for c in color], axis=-1)
     return film.at[idx].add(rows, mode="drop")
+
+
+def _splat_planar(planes, pixel, color, mask):
+    """_splat against a component-planar film (3 x (N,) arrays): three 1D
+    scatter-adds instead of one (B, 3) row scatter — measured v5e: 1D
+    scatter-add is 4.9 ns/elem while row scatters cost ~98.6 ns/row, and
+    the persistent loop pays one full-pool splat per step. Sums per
+    component are in the same index order, so films stay bit-identical to
+    the row form."""
+    r = pixel.shape[0]
+    idx = jnp.where(mask, pixel, planes[0].shape[0]).reshape(r * 128)
+    return tuple(p.at[idx].add(c.reshape(r * 128), mode="drop")
+                 for p, c in zip(planes, color))
 
 
 def _shade(scene, rays, hit, state, packet=False):
@@ -402,7 +416,7 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     return _splat(film, film_index, acc, live)
 
 
-@partial(jax.jit, static_argnames=("camera", "width", "height", "packet"),
+@partial(rjit, static_argnames=("camera", "width", "height", "packet"),
          donate_argnames=("film",))
 def render_debug(scene, camera, film, width, height, iteration,
                  packet=False):
@@ -428,7 +442,7 @@ def render_debug(scene, camera, film, width, height, iteration,
     return _splat(film, pix, color, live)
 
 
-@partial(jax.jit, static_argnames=("camera", "width", "height", "spp",
+@partial(rjit, static_argnames=("camera", "width", "height", "spp",
                                    "packet"),
          donate_argnames=("film",))
 def render_iteration(scene, camera, film, width, height, spp, iteration,
@@ -445,7 +459,7 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
     return film + delta * (1.0 / spp)
 
 
-@partial(jax.jit, static_argnames=("camera", "width", "height", "spp",
+@partial(rjit, static_argnames=("camera", "width", "height", "spp",
                                    "pool", "packet", "n_pixels"),
          donate_argnames=("film",))
 def render_iteration_persistent(scene, camera, film, width, height, spp,
@@ -526,7 +540,8 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         # (weighted 1/spp: the film holds per-iteration means,
         # mapping_cpu.impala:365-370)
         fidx = state["pixel"] - pixel_lo if local_film else state["pixel"]
-        film = _splat(film, fidx, vm.scale(state["acc"], weight), dead)
+        film = _splat_planar(film, fidx, vm.scale(state["acc"], weight),
+                             dead)
         zerov = vm.splat((0.0, 0.0, 0.0), like=state["mis"])
         state = dict(state, acc=vm.where(dead, zerov, state["acc"]))
         flat_dead = dead.reshape(-1)
@@ -560,12 +575,16 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         return {"rays": rays, "state": state, "film": film,
                 "next_free": next_free}
 
+    # the loop carries the film as 3 component planes (see _splat_planar);
+    # split/recombine once per iteration, not per step
+    planes = tuple(film[:, i] for i in range(3))
     out = jax.lax.while_loop(cond, body, {
-        "rays": rays, "state": state, "film": film,
+        "rays": rays, "state": state, "film": planes,
         "next_free": next_free})
     # slots that ran out of samples never hit the dead-splat in body
     fstate = out["state"]
     fidx = fstate["pixel"] - pixel_lo if local_film else fstate["pixel"]
-    film = _splat(out["film"], fidx, vm.scale(fstate["acc"], weight),
-                  tile(jnp.ones(pool, jnp.int32), r) == 1)
-    return film
+    planes = _splat_planar(out["film"], fidx,
+                           vm.scale(fstate["acc"], weight),
+                           tile(jnp.ones(pool, jnp.int32), r) == 1)
+    return jnp.stack(planes, axis=-1)

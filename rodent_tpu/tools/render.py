@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--no-packet", action="store_true",
                    help="disable the Pallas packet traversal (used by "
                         "default when the BVH fits in VMEM)")
+    p.add_argument("--progressive", action="store_true",
+                   help="full-width progressive wavefront instead of the "
+                        "persistent 32K regeneration pool (films are "
+                        "bit-identical; persistent is ~4x faster)")
     p.add_argument("--traversal", choices=("auto", "tiled", "packet",
                                            "hybrid", "hybrid-hbm"),
                    default="auto",
@@ -85,8 +89,16 @@ def main(argv=None):
         mesh = make_mesh()
         step = lambda f, i: render_iteration_sharded(
             scene.device, cam, f, args.width, args.height, args.spp, i, mesh)
-    else:
+    elif args.progressive:
         step = lambda f, i: render_iteration(
+            scene.device, cam, f, args.width, args.height, args.spp, i,
+            packet=packet)
+    else:
+        # persistent regeneration pool: same film bit-for-bit (RNG seeds
+        # depend only on sample/iter/pixel), ~4x the progressive
+        # throughput (mapping_gpu.impala:371-474's megakernel trick)
+        from ..render.integrator import render_iteration_persistent
+        step = lambda f, i: render_iteration_persistent(
             scene.device, cam, f, args.width, args.height, args.spp, i,
             packet=packet)
 
