@@ -42,6 +42,7 @@ def main():
     from rodent_tpu.traversal.pallas_packet import traverse_packet
     from rodent_tpu.traversal.tiled import traverse_tiled
     from rodent_tpu.traversal.sorting import sort_rays
+    from rodent_tpu.utils.compile import rjit
     from rodent_tpu.utils.testscenes import (hall_primary_rays, make_hall,
                                              hall_secondary_rays)
 
@@ -63,7 +64,7 @@ def main():
     # octant+Morton ordering: coherent tiles cut the packet kernel's
     # shared-stack union divergence
     prim_sorted, _ = sort_rays(prim, verts.min(0), verts.max(0))
-    fn_packet = jax.jit(lambda r: traverse_packet(dev, r))
+    fn_packet = rjit(lambda r: traverse_packet(dev, r))
     mrays_primary, hit = _bench_traversal(fn_packet, prim_sorted, n)
     detail["primary_mrays"] = round(mrays_primary, 2)
     detail["primary_hit_fraction"] = round(float(jnp.mean(
@@ -90,9 +91,10 @@ def main():
         # cell-cone-sorted secondaries run fastest through the packet
         # kernel at small tiles (measured rows=16 with the org9-major
         # sort + any-hit deactivation: ao 2.8, bounces 3.3 vs 1.4/1.2
-        # tiled); tiled remains the >VMEM fallback
-        fn2 = jax.jit(lambda r, ah=any_hit: traverse_packet(
-            dev, r, any_hit=ah, tile_rows=16))
+        # tiled; multi=2 cross-tile interleave +8-12% on top); tiled
+        # remains the >VMEM fallback
+        fn2 = rjit(lambda r, ah=any_hit: traverse_packet(
+            dev, r, any_hit=ah))
         mrays2, _h = _bench_traversal(fn2, rays2, n, iters=3)
         detail[f"{kind}_mrays"] = round(mrays2, 2)
 
@@ -114,8 +116,10 @@ def main():
                           jnp.zeros(bn, jnp.float32),
                           jnp.full(bn, 3.402823466e38, jnp.float32))
         brays, _ = sort_rays(brays, bverts.min(0), bverts.max(0))
-        bfn = jax.jit(lambda d, r: traverse_packet(d, r, tile_rows=32,
-                                                   tris_hbm=True))
+        # multi=1: the hbm mode's DMA-overlap win from multi-tile is not
+        # yet measured on device; rows=32 x single is the recorded config
+        bfn = rjit(lambda d, r: traverse_packet(d, r, tile_rows=32,
+                                                   tris_hbm=True, multi=1))
         bhit = bfn(bdev, brays)
         _ = np.asarray(bhit["t"][:128])
         t0 = time.perf_counter()

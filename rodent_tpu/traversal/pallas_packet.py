@@ -33,7 +33,7 @@ import numpy as np
 
 from .tiled import _SORT_NETWORKS
 
-TILE_ROWS = 32           # rays per tile = TILE_ROWS * 128
+TILE_ROWS = 16           # rays per tile = TILE_ROWS * 128
 # measured on the hall-260K primary workload (1M cone-sorted rays, v5e,
 # Tri8 leaf packets + SBVH lt=12): rows 16: 50.7 | 32: 55.4 | 48: 49.1 |
 # 64: 49.5 Mrays/s. Cost model (fit from the sweep): per-pop =
@@ -53,12 +53,20 @@ TILE_ROWS = 32           # rays per tile = TILE_ROWS * 128
 # row-frustum node tests (push-set inflation; re-measured under the
 # cone sort: rows=16 primary 32.1 vs 48.9 — pops 44 -> 103 still
 # drowns the ~5x op saving), deferred hit attributes (XLA gather
-# post-pass ~290 ms), stream interleaving (chains do not overlap)
+# post-pass ~290 ms), SAME-tile stream interleaving (v3; chains do not
+# overlap).
+# Round 3: CROSS-tile interleaving (multi=N independent tiles per grid
+# step, one fused loop — _kernel_multi) DOES pack: the ~600 ns fixed
+# part is scalar/small-vector issue that co-schedules against the other
+# tile's full-tile vector work. Measured (hall, same run): 16-rows x
+# multi=2 beats 32x1 by +16% primary / +8% ao / +12% bounces; 8x4
+# close behind; 4xN loses (pop-count inflation). Defaults now 16x2.
 STACK = 64
 POPS = 1        # stack entries retired per loop iteration (see _kernel)
 SCALAR_READS = False  # direct scalar VMEM loads (1 row/line) vs row loads
 FRUSTUM = False  # row-frustum node tests (conservative, ~5x fewer ops)
 LEAF_CHAIN = 1   # Tri packets consumed per leaf pop (chained leaves)
+MULTI = 2        # independent tiles per grid step (interleaved pop chains)
 _F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
 
 
@@ -584,17 +592,297 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         cnt_ref[:] = jnp.full((8, 128), cnt_sm[0], jnp.int32)
 
 
+def _kernel_multi(rays_ref, nodes_ref, tris_ref,
+                  t_ref, u_ref, v_ref, prim_ref, geom_ref,
+                  *rest, arity, m, any_hit, stack_size, tile_rows,
+                  n_way, node_rpl=2, tri_rpl=2, tris_hbm=False,
+                  leaf_chain=1):
+    """n_way independent ray tiles per grid step, one fused loop.
+
+    The single-tile kernel's per-pop cost is ~600 ns of poorly-packed
+    scalar + small-vector work plus ~18.6 ns x rows of full-tile vector
+    issue (measured; see the cost model at the top of this file). The two
+    tiles' pop chains are fully independent — separate SMEM stacks,
+    separate carries — so the VLIW scheduler can pack tile A's scalar
+    phase against tile B's vector phase inside one loop body: per-trip
+    cost approaches max(scalar, vector) instead of their sum. Tiles are
+    paired adjacently, so after the cone sort the two pop counts are
+    similar and the max-trips tail is small.
+
+    Production config only (pops=1, vector row loads); semantics
+    identical to _kernel over each sub-tile."""
+    rest = list(rest)
+    if tris_hbm:
+        hbm_scratch = rest[-2 * n_way:]
+        rest = rest[:-2 * n_way]
+    else:
+        hbm_scratch = [None, None] * n_way
+    stacks = rest
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def load_row(ref, idx, rpl):
+        if rpl == 1:
+            row = ref[pl.ds(idx, 1), :]
+        else:
+            row = ref[pl.ds(idx // 2, 1), :]
+            row = pltpu.roll(row, -(idx % 2) * 64, axis=1)
+        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+        return (lambda j: row[0, j]), (lambda j: row_i[0, j])
+
+    zero = jnp.int32(0)
+
+    def make_tile(lo, stack_ref, tri_buf, tri_sem):
+        """Builds (cond_one, body_one, init, writeback) for the tile in
+        rows [lo, lo + tile_rows)."""
+        sl = pl.ds(lo, tile_rows)
+        inv_d = [rays_ref[i, sl] for i in range(3)]
+        org = [rays_ref[3 + i, sl] for i in range(3)]
+        dirv = [rays_ref[6 + i, sl] for i in range(3)]
+        tmin = rays_ref[9, sl]
+        tmax = rays_ref[10, sl]
+        stack_ref[0] = jnp.int32(1)
+
+        pos = [jnp.min((inv_d[k] >= 0.0).astype(jnp.int32)) == 1
+               for k in range(3)]
+        neg = [jnp.min((inv_d[k] < 0.0).astype(jnp.int32)) == 1
+               for k in range(3)]
+        tile_pure = ((pos[0] | neg[0]) & (pos[1] | neg[1])
+                     & (pos[2] | neg[2]))
+
+        def node_step(code, t_cur, pure):
+            rd, rdi = load_row(nodes_ref, code - 1, node_rpl)
+            parts = []
+            childs = []
+            for c in range(arity):
+                if pure:
+                    bs = [jnp.where(pos[k], rd((2 * k) * arity + c),
+                                    rd((2 * k + 1) * arity + c))
+                          for k in range(3)]
+                    bf = [jnp.where(pos[k], rd((2 * k + 1) * arity + c),
+                                    rd((2 * k) * arity + c))
+                          for k in range(3)]
+                    ent = jnp.maximum(
+                        jnp.maximum((bs[0] - org[0]) * inv_d[0],
+                                    (bs[1] - org[1]) * inv_d[1]),
+                        jnp.maximum((bs[2] - org[2]) * inv_d[2], tmin))
+                    ext = jnp.minimum(
+                        jnp.minimum((bf[0] - org[0]) * inv_d[0],
+                                    (bf[1] - org[1]) * inv_d[1]),
+                        jnp.minimum((bf[2] - org[2]) * inv_d[2], t_cur))
+                else:
+                    tx0 = (rd(0 * arity + c) - org[0]) * inv_d[0]
+                    tx1 = (rd(1 * arity + c) - org[0]) * inv_d[0]
+                    ty0 = (rd(2 * arity + c) - org[1]) * inv_d[1]
+                    ty1 = (rd(3 * arity + c) - org[1]) * inv_d[1]
+                    tz0 = (rd(4 * arity + c) - org[2]) * inv_d[2]
+                    tz1 = (rd(5 * arity + c) - org[2]) * inv_d[2]
+                    ent = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+                    ext = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
+                parts.append(jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
+                                     axis=0, keepdims=True))
+                childs.append(rdi(6 * arity + c))
+            keys8 = jnp.min(jnp.concatenate(parts, axis=0), axis=1)
+            keys = []
+            for c in range(arity):
+                key = keys8[c]
+                valid = (childs[c] != 0) & (key < _F32_MAX)
+                keys.append(jnp.where(valid, key, _F32_MAX))
+                childs[c] = jnp.where(valid, childs[c], 0)
+            if not any_hit:
+                for i, j in _SORT_NETWORKS[arity]:
+                    swap = keys[i] > keys[j]
+                    keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                                        jnp.where(swap, keys[i], keys[j]))
+                    childs[i], childs[j] = (
+                        jnp.where(swap, childs[j], childs[i]),
+                        jnp.where(swap, childs[i], childs[j]))
+            return childs
+
+        def _leaf_one(code, carry, t_test):
+            t_cur, u_b, v_b, p_b, g_b = carry
+            if tris_hbm:
+                cp = pltpu.make_async_copy(tris_ref.at[pl.ds(~code, 1)],
+                                           tri_buf, tri_sem)
+                cp.start()
+                cp.wait()
+                row = tri_buf[pl.ds(0, 1), :]
+                row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+                rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
+            else:
+                rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+            is_last = jnp.int32(0)
+            for lane in range(m):
+                v0 = [rd(k * m + lane) for k in range(3)]
+                e1 = [rd((3 + k) * m + lane) for k in range(3)]
+                e2 = [rd((6 + k) * m + lane) for k in range(3)]
+                nn = [rd((9 + k) * m + lane) for k in range(3)]
+                pid = rdi(12 * m + lane)
+                gid = rdi(13 * m + lane)
+                cx = v0[0] - org[0]
+                cy = v0[1] - org[1]
+                cz = v0[2] - org[2]
+                rx = dirv[1] * cz - dirv[2] * cy
+                ry = dirv[2] * cx - dirv[0] * cz
+                rz = dirv[0] * cy - dirv[1] * cx
+                det = nn[0] * dirv[0] + nn[1] * dirv[1] + nn[2] * dirv[2]
+                abs_det = jnp.abs(det)
+                sign = jnp.where(det < 0, jnp.float32(-1.0),
+                                 jnp.float32(1.0))
+                uu = (rx * e2[0] + ry * e2[1] + rz * e2[2]) * sign
+                vv = (rx * e1[0] + ry * e1[1] + rz * e1[2]) * sign
+                tt = (cx * nn[0] + cy * nn[1] + cz * nn[2]) * sign
+                ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= abs_det)
+                      & (abs_det != 0.0)
+                      & (tt >= abs_det * tmin) & (tt <= abs_det * t_test)
+                      & (pid != -1))
+                inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
+                tv = tt * inv_det
+                upd = ok & (tv < t_cur)
+                t_cur = jnp.where(upd, tv, t_cur)
+                u_b = jnp.where(upd, uu * inv_det, u_b)
+                v_b = jnp.where(upd, vv * inv_det, v_b)
+                p_b = jnp.where(upd, pid & 0x7FFFFFFF, p_b)
+                g_b = jnp.where(upd, gid, g_b)
+                if lane == m - 1:
+                    is_last = pid < 0
+            cont_code = jnp.where(is_last, jnp.int32(0), code - 1)
+            return (t_cur, u_b, v_b, p_b, g_b), cont_code
+
+        def leaf_step(code, carry, t_test):
+            carry, cont = _leaf_one(code, carry, t_test)
+            for _ in range(leaf_chain - 1):
+                carry, cont = jax.lax.cond(
+                    cont < 0,
+                    lambda args: _leaf_one(args[1], args[0], t_test),
+                    lambda args: args,
+                    (carry, cont))
+            return carry, cont
+
+        no_push = [zero] * arity
+
+        def body_one(c):
+            if any_hit:
+                sptr, done, t_cur, u_b, v_b, p_b, g_b = c
+                valid = (sptr > 0) & jnp.logical_not(done)
+            else:
+                sptr, t_cur, u_b, v_b, p_b, g_b = c
+                valid = sptr > 0
+            top = jnp.where(valid, sptr - 1, zero)
+            code = jnp.where(valid, stack_ref[top], zero)
+            sptr = jnp.where(valid, top, sptr)
+            if any_hit:
+                t_test = jnp.where(p_b >= 0, jnp.float32(-_F32_MAX),
+                                   t_cur)
+            else:
+                t_test = t_cur
+            carry = (t_cur, u_b, v_b, p_b, g_b)
+
+            def do_node(_):
+                def pure_body(_):
+                    return node_step(code, t_test, True)
+
+                def mixed_body(_):
+                    return node_step(code, t_test, False)
+
+                childs = jax.lax.cond(tile_pure, pure_body, mixed_body,
+                                      None)
+                return carry + tuple(childs)
+
+            def do_other(_):
+                def do_leaf(_):
+                    c2, cont = leaf_step(code, carry, t_test)
+                    return c2 + (cont,) + tuple(no_push[1:])
+
+                def do_skip(_):
+                    return carry + tuple(no_push)
+
+                return jax.lax.cond(code < 0, do_leaf, do_skip, None)
+
+            out = jax.lax.cond(code > 0, do_node, do_other, None)
+            carry = out[:5]
+            pushes = out[5:]
+            for rr in range(arity - 1, -1, -1):
+                ok = pushes[rr] != 0
+                stack_ref[jnp.where(ok, sptr, stack_size - 1)] = pushes[rr]
+                sptr = sptr + jnp.where(ok, 1, 0)
+            t2, u2, v2, p2, g2 = carry
+            if any_hit:
+                all_done = jnp.min(jnp.where(
+                    tmax < tmin, 1,
+                    (p2 >= 0).astype(jnp.int32))) > 0
+                return (sptr, all_done, t2, u2, v2, p2, g2)
+            return (sptr, t2, u2, v2, p2, g2)
+
+        def cond_one(c):
+            if any_hit:
+                return (c[0] > 0) & jnp.logical_not(c[1])
+            return c[0] > 0
+
+        init_hits = (tmax,
+                     jnp.zeros_like(tmax),
+                     jnp.zeros_like(tmax),
+                     jnp.full(tmax.shape, -1, jnp.int32),
+                     jnp.full(tmax.shape, -1, jnp.int32))
+        if any_hit:
+            init = (jnp.int32(1), jnp.bool_(False)) + init_hits
+        else:
+            init = (jnp.int32(1),) + init_hits
+
+        def writeback(c):
+            t_b, u_b, v_b, p_b, g_b = c[-5:]
+            t_ref[sl] = t_b
+            u_ref[sl] = u_b
+            v_ref[sl] = v_b
+            prim_ref[sl] = p_b
+            geom_ref[sl] = g_b
+
+        return cond_one, body_one, init, writeback
+
+    tiles = [make_tile(k * tile_rows, stacks[k], hbm_scratch[2 * k],
+                       hbm_scratch[2 * k + 1]) for k in range(n_way)]
+    na = len(tiles[0][2])
+
+    def cond(c):
+        out = None
+        for k, (cond_k, _b, _i, _w) in enumerate(tiles):
+            ck = cond_k(c[k * na:(k + 1) * na])
+            out = ck if out is None else (out | ck)
+        return out
+
+    def body(c):
+        out = ()
+        for k, (_c, body_k, _i, _w) in enumerate(tiles):
+            out = out + body_k(c[k * na:(k + 1) * na])
+        return out
+
+    init = ()
+    for _c, _b, init_k, _w in tiles:
+        init = init + init_k
+    out = jax.lax.while_loop(cond, body, init)
+    for k, (_c, _b, _i, wb_k) in enumerate(tiles):
+        wb_k(out[k * na:(k + 1) * na])
+
+
 def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                                any_hit=False, tile_rows=TILE_ROWS,
                                interpret=False, pops=POPS,
                                scalar_reads=SCALAR_READS,
                                frustum=FRUSTUM, tris_hbm=False,
-                               leaf_chain=LEAF_CHAIN):
+                               leaf_chain=LEAF_CHAIN, multi=MULTI):
     """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
     hit dict of (R, 128) arrays out (integrator-facing; dead rays =
     tmax < tmin)."""
     R = tmin.shape[0]
     nt = -(-R // tile_rows)
+    if multi > 1 and nt % multi:
+        nt += multi - nt % multi
     pad = nt * tile_rows - R
 
     def prep(x, fill=0.0):
@@ -609,7 +897,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     packed = jnp.stack(comp)
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                         pops, scalar_reads, frustum=frustum,
-                        tris_hbm=tris_hbm, leaf_chain=leaf_chain)
+                        tris_hbm=tris_hbm, leaf_chain=leaf_chain,
+                        multi=multi)
     t, u, v, p, g = [o[:R] for o in outs[:5]]
     t = jnp.where(p < 0, tmax, t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -619,7 +908,7 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                     interpret=False, pops=POPS,
                     scalar_reads=SCALAR_READS, ablate=(),
                     frustum=FRUSTUM, tris_hbm=False,
-                    leaf_chain=LEAF_CHAIN):
+                    leaf_chain=LEAF_CHAIN, multi=MULTI):
     """Packet-kernel traversal; same contract as api.traverse.
     Requires the node table to fit in VMEM (~100 MB with the raised
     limit). tris_hbm=True keeps the (much larger) triangle table in HBM
@@ -629,6 +918,8 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     B = rays["org"].shape[0]
     tile = tile_rows * 128
     nt = -(-B // tile)
+    if multi > 1 and nt % multi:
+        nt += multi - nt % multi
     pad = nt * tile - B
 
     def prep(x, fill=0.0):
@@ -646,7 +937,7 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                         pops, scalar_reads, ablate=ablate,
                         frustum=frustum, tris_hbm=tris_hbm,
-                        leaf_chain=leaf_chain)
+                        leaf_chain=leaf_chain, multi=multi)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -669,7 +960,7 @@ def _pack_rows(table, force_single=False):
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                  pops=POPS, scalar_reads=SCALAR_READS, count_pops=False,
                  ablate=(), frustum=FRUSTUM, tris_hbm=False,
-                 leaf_chain=LEAF_CHAIN):
+                 leaf_chain=LEAF_CHAIN, multi=MULTI):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -692,6 +983,42 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     meta = dev.get("meta")
     stack_size = (max(meta.shared_stack + 2, 16)
                   if isinstance(meta, BvhMeta) else STACK)
+    if multi > 1:
+        assert nt % multi == 0 and not count_pops
+        kern = functools.partial(
+            _kernel_multi, arity=arity, m=m, any_hit=any_hit,
+            stack_size=stack_size, tile_rows=tile_rows, n_way=multi,
+            node_rpl=node_rpl, tri_rpl=tri_rpl, tris_hbm=tris_hbm,
+            leaf_chain=leaf_chain)
+        blk = multi * tile_rows
+        return pl.pallas_call(
+            kern,
+            grid=(nt // multi,),
+            out_shape=[
+                jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.int32),
+            ],
+            in_specs=[pl.BlockSpec((11, blk, 128), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(nodes2.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      (pl.BlockSpec(memory_space=pltpu.ANY) if tris_hbm
+                       else pl.BlockSpec(tris2.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))],
+            out_specs=[pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)] * 5,
+            scratch_shapes=([pltpu.SMEM((stack_size,), jnp.int32)]
+                            * multi
+                            + ([pltpu.VMEM((1, 128), jnp.float32),
+                                pltpu.SemaphoreType.DMA(())] * multi
+                               if tris_hbm else [])),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(packed, nodes2, tris2)
     kern = functools.partial(_kernel, arity=arity, m=m, any_hit=any_hit,
                              stack_size=stack_size,
                              node_rpl=node_rpl, tri_rpl=tri_rpl, pops=pops,

@@ -229,6 +229,32 @@ def test_packet_kernel_matches_api():
     np.testing.assert_array_equal(wa, ga)
 
 
+def test_packet_kernel_multi_matches_api():
+    """The multi-tile kernel (n independent tiles per grid step with
+    interleaved pop chains — the VLIW-packing variant) must agree exactly
+    with api.traverse, including any-hit and with tris_hbm."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8, packet=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=49)  # non-multiple of the 2-tile block
+    a = traverse(dev, rays)
+    for kw in ({"multi": 2, "tile_rows": 1},
+               {"multi": 4, "tile_rows": 2},
+               {"multi": 2, "tile_rows": 2, "tris_hbm": True}):
+        b = traverse_packet(dev, rays, **kw)
+        np.testing.assert_allclose(np.asarray(a["t"]),
+                                   np.asarray(b["t"]),
+                                   atol=1e-5, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                      np.asarray(b["prim_id"]))
+    rays2 = random_rays(256, seed=51, tmax=2.0)
+    wa = np.asarray(traverse(dev, rays2, any_hit=True)["prim_id"]) >= 0
+    ga = np.asarray(traverse_packet(dev, rays2, any_hit=True, multi=2,
+                                    tile_rows=1)["prim_id"]) >= 0
+    np.testing.assert_array_equal(wa, ga)
+
+
 def test_packet_kernel_tris_hbm_matches_api():
     """The big-scene mode (triangle table in HBM, one DMA per leaf pop)
     must agree exactly with api.traverse — same walk, different triangle
