@@ -134,7 +134,7 @@ def np_traverse_counts(bvh, org, dirs, tmin, tmax, any_hit=False,
                 sptr[done] = 0
 
     return {"node_pops": node_pops, "leaf_pops": leaf_pops,
-            "hit": hit_prim >= 0, "t": t_cur,
+            "hit": hit_prim >= 0, "hit_prim": hit_prim, "t": t_cur,
             "visits": (np.concatenate(visits_r) if visits_r else None,
                        np.concatenate(visits_n) if visits_n else None)}
 

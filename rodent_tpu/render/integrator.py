@@ -96,29 +96,41 @@ def surface_element(scene, rays, hit):
     """make_tri_mesh_geometry's surface element
     (src/render/geometry.impala:21-54) in component layout.
 
-    Uses the packed per-triangle row [i0, i1, i2, mat, fn.xyz, light_id]
-    and per-vertex row [n.xyz, tu, tv] (scene compiler) so the whole
-    fetch is 4 flat gathers."""
+    Uses the pre-joined per-triangle shading row [mat, fn.xyz, light_id,
+    n0.xyz, n1.xyz, n2.xyz, uv0, uv1, uv2] (scene compiler "tri_shade")
+    so the whole fetch is ONE flat gather; scenes too large for the
+    joined table (see compiler._build_device) take the memory-lean
+    4-gather path (tri row + 3 vertex rows), with identical values."""
     prim = jnp.maximum(hit["prim_id"], 0)
-    tg = gather_cols(scene["tri_geo"], prim)     # (8, R, 128)
 
     def bc(x):
         return jax.lax.bitcast_convert_type(x, jnp.int32)
 
-    i0, i1, i2, mat_id = bc(tg[0]), bc(tg[1]), bc(tg[2]), bc(tg[3])
-    face_n = (tg[4], tg[5], tg[6])
-    light_id = bc(tg[7])
-
-    vg0 = gather_cols(scene["vtx_geo"], i0)      # (5, R, 128)
-    vg1 = gather_cols(scene["vtx_geo"], i1)
-    vg2 = gather_cols(scene["vtx_geo"], i2)
     u, v = hit["u"], hit["v"]
-    normal = vm.normalize(vm.lerp2((vg0[0], vg0[1], vg0[2]),
-                                   (vg1[0], vg1[1], vg1[2]),
-                                   (vg2[0], vg2[1], vg2[2]), u, v))
     w = 1.0 - u - v
-    uv = (w * vg0[3] + u * vg1[3] + v * vg2[3],
-          w * vg0[4] + u * vg1[4] + v * vg2[4])
+    if "tri_shade" in scene:
+        ts = gather_cols(scene["tri_shade"], prim)   # (20, R, 128)
+        mat_id = bc(ts[0])
+        face_n = (ts[1], ts[2], ts[3])
+        light_id = bc(ts[4])
+        n0, n1, n2 = (ts[5], ts[6], ts[7]), (ts[8], ts[9], ts[10]), \
+            (ts[11], ts[12], ts[13])
+        normal = vm.normalize(vm.lerp2(n0, n1, n2, u, v))
+        uv = (w * ts[14] + u * ts[16] + v * ts[18],
+              w * ts[15] + u * ts[17] + v * ts[19])
+    else:
+        tg = gather_cols(scene["tri_geo"], prim)     # (8, R, 128)
+        i0, i1, i2, mat_id = bc(tg[0]), bc(tg[1]), bc(tg[2]), bc(tg[3])
+        face_n = (tg[4], tg[5], tg[6])
+        light_id = bc(tg[7])
+        vg0 = gather_cols(scene["vtx_geo"], i0)      # (5, R, 128)
+        vg1 = gather_cols(scene["vtx_geo"], i1)
+        vg2 = gather_cols(scene["vtx_geo"], i2)
+        normal = vm.normalize(vm.lerp2((vg0[0], vg0[1], vg0[2]),
+                                       (vg1[0], vg1[1], vg1[2]),
+                                       (vg2[0], vg2[1], vg2[2]), u, v))
+        uv = (w * vg0[3] + u * vg1[3] + v * vg2[3],
+              w * vg0[4] + u * vg1[4] + v * vg2[4])
 
     is_entering = vm.dot(rays["dir"], face_n) <= 0.0
     point = vm.add(rays["org"], vm.scale(rays["dir"], hit["t"]))

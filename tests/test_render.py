@@ -83,6 +83,21 @@ def test_render_against_downsampled_golden(cornell_img):
     assert diff.mean() < 14.0, f"mean abs diff {diff.mean():.2f}"
 
 
+def test_tri_shade_matches_four_gather_path(cornell):
+    """The pre-joined tri_shade single-gather surface element must give a
+    bit-identical film to the memory-lean 4-gather path (tri_geo +
+    3x vtx_geo) it replaces on small scenes."""
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
+    dev_lean = dict(cornell.device)
+    dev_lean.pop("tri_shade")
+    films = []
+    for dev in (cornell.device, dev_lean):
+        film = film_mod.new_film(W, H)
+        film = render_iteration(dev, cam, film, W, H, 2, 0)
+        films.append(np.asarray(film))
+    np.testing.assert_array_equal(films[0], films[1])
+
+
 def test_persistent_matches_progressive(cornell):
     """The persistent-wavefront (megakernel-regeneration analog) must
     produce a bit-identical film: RNG streams depend only on
