@@ -149,6 +149,11 @@ def _build_device(mesh, mat_params, lights, light_ids, bvh, max_path_len,
 
     device = {
         "bvh": bvh_to_device(bvh),
+        # scene AABB for the per-step ray sort (sorting.ray_sort_keys
+        # origin grid) — the renderer re-sorts the wavefront every bounce
+        # like the reference (mapping_cpu.impala:409 sort_rays)
+        "scene_lo": jnp.asarray(mesh.vertices.min(0), jnp.float32),
+        "scene_hi": jnp.asarray(mesh.vertices.max(0), jnp.float32),
         "tri_geo": jnp.asarray(tri_geo),
         "vtx_geo": jnp.asarray(vtx_geo),
         "vertices": jnp.asarray(mesh.vertices),

@@ -41,6 +41,7 @@ from ..core.rng import randf, seed_camera_rays
 from ..core.tiles import gather_cols, num_tiles, tile
 from ..utils.compile import rjit
 from ..traversal.pallas_packet import traverse_packet_components
+from ..traversal.sorting import ray_sort_keys
 from ..traversal.tiled import traverse_components
 from . import bsdf as bsdf_mod
 from . import light as light_mod
@@ -68,7 +69,7 @@ def make_rays_c(org, dirv, tmin, tmax):
             "tmin": tmin, "tmax": tmax}
 
 
-def _traverse(scene, rays, any_hit=False, packet=False):
+def _traverse(scene, rays, any_hit=False, packet=False, sort=False):
     """packet=True uses the Pallas shared-stack kernel (BVH must fit in
     VMEM); packet="hbm" uses its big-scene mode (node table in VMEM,
     Tri rows DMA'd from HBM — San-Miguel-class scenes); default is the
@@ -81,12 +82,46 @@ def _traverse(scene, rays, any_hit=False, packet=False):
     packet="hybrid" policy in render_sample peels the coherent depth-0
     work onto the packet kernel and keeps bounces here — the reference's
     hybrid kernel switch (mapping_cpu.impala:267-324) at wavefront
-    granularity."""
+    granularity.
+
+    sort=True re-sorts the wavefront before traversal (org9|oct|dir20
+    key, dead rays to the tail) and scatters hits back to slot order —
+    the reference re-sorts its stream every bounce
+    (mapping_cpu.impala:35-91, mapping_gpu.impala:166-221). Essential
+    for the packet kernel on mixed-depth persistent pools, whose slot
+    order is pixel-scrambled by regeneration."""
     if packet:
         fn = partial(traverse_packet_components,
                      tris_hbm=(packet == "hbm"))
     else:
         fn = traverse_components
+    if sort and "scene_lo" in scene:
+        shape = rays["tmin"].shape
+        flat3 = tuple(x.reshape(-1) for x in rays["org"])
+        dir3 = tuple(x.reshape(-1) for x in rays["dir"])
+        tmax = rays["tmax"].reshape(-1)
+        keys = ray_sort_keys(flat3, dir3, scene["scene_lo"],
+                             scene["scene_hi"])
+        # dead rays (tmax < 0) sort to the tail so whole tail tiles
+        # deactivate in the kernel (any-hit done-ray path)
+        keys = jnp.where(tmax > 0.0, keys, jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(keys)
+
+        def g(x):
+            return x.reshape(-1)[perm].reshape(shape)
+
+        srt = make_rays_c(tuple(g(x) for x in rays["org"]),
+                          tuple(g(x) for x in rays["dir"]),
+                          g(rays["tmin"]), g(rays["tmax"]))
+        hit = fn(scene["bvh"], srt["org"], srt["dir"],
+                 srt["inv_dir"], srt["inv_org"],
+                 srt["tmin"], srt["tmax"], any_hit=any_hit)
+
+        def unsort(x):
+            return (jnp.zeros(x.size, x.dtype).at[perm]
+                    .set(x.reshape(-1)).reshape(shape))
+
+        return {k: unsort(v) for k, v in hit.items()}
     return fn(scene["bvh"], rays["org"], rays["dir"],
               rays["inv_dir"], rays["inv_org"],
               rays["tmin"], rays["tmax"], any_hit=any_hit)
@@ -241,7 +276,7 @@ def _splat_planar(planes, pixel, color, mask):
                  for p, c in zip(planes, color))
 
 
-def _shade(scene, rays, hit, state, packet=False):
+def _shade(scene, rays, hit, state, packet=False, sort=False):
     """One shading stage: on_hit accumulation, NEE shadow rays, bounce
     sampling. Radiance accumulates into the per-slot register state["acc"]
     (splatted to the film only when the path retires — film scatter-adds
@@ -314,7 +349,7 @@ def _shade(scene, rays, hit, state, packet=False):
     shadow_rays = make_rays_c(surf["point"], light_vec, off,
                               jnp.where(nee_ok, 1.0 - OFFSET, -1.0))
     shadow_hit = _traverse(scene, shadow_rays, any_hit=True,
-                           packet=packet)
+                           packet=packet, sort=sort)
     add_shadow = nee_ok & (shadow_hit["prim_id"] < 0)
     acc = vm.add(acc, vm.where(add_shadow, shadow_color, zero3))
 
@@ -364,7 +399,7 @@ def _emit_camera(camera, width, height, sample, iteration, pix):
 
 
 def render_sample(scene, camera, film, width, height, sample, iteration,
-                  pixel_ids=None, packet=False):
+                  pixel_ids=None, packet=False, sort=False):
     """Traces one sample per pixel to completion (one wavefront pass).
     pixel_ids indexes the *global* image; when film is a local shard of
     the same length, scatters use local indices (parallel.mesh).
@@ -415,8 +450,9 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
 
     def body(c):
         rays, state = c["rays"], c["state"]
-        hit = _traverse(scene, rays, packet=loop_packet)
-        rays, state = _shade(scene, rays, hit, state, packet=loop_packet)
+        hit = _traverse(scene, rays, packet=loop_packet, sort=sort)
+        rays, state = _shade(scene, rays, hit, state, packet=loop_packet,
+                             sort=sort)
         return {"rays": rays, "state": state}
 
     out = jax.lax.while_loop(cond, body, {"rays": rays, "state": state})
@@ -472,12 +508,12 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
 
 
 @partial(rjit, static_argnames=("camera", "width", "height", "spp",
-                                   "pool", "packet", "n_pixels"),
+                                   "pool", "packet", "n_pixels", "sort"),
          donate_argnames=("film",))
 def render_iteration_persistent(scene, camera, film, width, height, spp,
                                 iteration, pool=None, packet=False,
                                 pixel_lo=0, n_pixels=None, sample_lo=0,
-                                spp_weight=None):
+                                spp_weight=None, sort=False):
     """Persistent-wavefront iteration: the TPU form of the reference's
     megakernel regeneration trick (gpu_mega_kernel_trace,
     src/render/mapping_gpu.impala:371-474 — dead paths immediately pull
@@ -497,6 +533,11 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     film accumulation weight (1/spp_total instead of 1/spp_local). When
     film has n_pixels rows (a local shard), splats use strip-local
     indices."""
+    # the hybrid policies are wavefront-level (depth-0 peel) and don't
+    # apply to a mixed-depth pool; map them to their full-packet flavor
+    # ("hybrid-hbm" MUST keep the Tri-DMA mode — its Tri table exceeds
+    # VMEM)
+    packet = {"hybrid": True, "hybrid-hbm": "hbm"}.get(packet, packet)
     n_pixels = n_pixels or width * height
     total = n_pixels * spp
     weight = spp_weight if spp_weight is not None else (1.0 / spp)
@@ -543,8 +584,9 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     def body(c):
         rays, state, film = c["rays"], c["state"], c["film"]
         next_free = c["next_free"]
-        hit = _traverse(scene, rays, packet=packet)
-        rays, state = _shade(scene, rays, hit, state, packet=packet)
+        hit = _traverse(scene, rays, packet=packet, sort=sort)
+        rays, state = _shade(scene, rays, hit, state, packet=packet,
+                             sort=sort)
 
         # regenerate: dead *real* slots pull the next unprocessed sample
         dead = ~state["alive"] & (tile(jnp.ones(pool, jnp.int32), r) == 1)

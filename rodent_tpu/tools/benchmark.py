@@ -13,10 +13,16 @@ not redistributable) and both traversal engines:
           from HBM) — San-Miguel-class scenes
   tiled   XLA dual-queue lockstep kernel (HBM path, any scene size)
 
+--mode renderer runs the full path tracer on the same scenes instead
+(compile_mesh supplies materials + an area light) at the reference's
+benchmark config 1920x1088 / spp 4 / max-path-len 20
+(/root/reference/benchmarks/bench.sh:60-85) and prints Msamples/s rows.
+
 Usage:
   python -m rodent_tpu.tools.benchmark [--scenes hall,crown,powerplant]
       [--dists primary,ao,bounces] [--variants packet,tiled]
       [--rays 1048576] [--iters 3] [--sizes hall=260000,...]
+      [--mode traversal|renderer]
 """
 from __future__ import annotations
 
@@ -44,6 +50,13 @@ def main(argv=None):
     p.add_argument("--sizes", default="",
                    help="override scene sizes: hall=100000,crown=500000")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--mode", choices=("traversal", "renderer"),
+                   default="traversal")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1088)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--mpl", type=int, default=20,
+                   help="max path length (reference bench.sh uses 20)")
     args = p.parse_args(argv)
 
     import jax
@@ -66,6 +79,9 @@ def main(argv=None):
         if "=" in tok:
             k, v = tok.split("=")
             sizes[k] = int(v)
+
+    if args.mode == "renderer":
+        return _renderer_sweep(args, sizes)
 
     side = int(np.sqrt(args.rays))
     n = side * side
@@ -138,17 +154,21 @@ def main(argv=None):
                                e(d, r, a))
                 out = fn_t(dev, srt)
                 _ = np.asarray(out["t"][:128])
-                # per-iteration timing, avg/median/min like the reference
-                # harness (bench_traversal.cpp:336-391); the ±8% band on
-                # the tunneled chip (ROADMAP) makes single numbers
-                # meaningless. Each sample forces a small host fetch
-                # (remote-backend block_until_ready returns early).
+                # avg/median/min like the reference harness
+                # (bench_traversal.cpp:336-391); the ±8% band on the
+                # tunneled chip (ROADMAP) makes single numbers
+                # meaningless. Each SAMPLE pipelines `group` calls and
+                # forces one small host fetch at the end — a per-call
+                # fetch costs ~30 ms through the tunnel and buries
+                # 15-20 ms kernels (measured round 3).
+                group = 3
                 times = []
                 for _ in range(args.iters):
                     t0 = time.perf_counter()
-                    out = fn_t(dev, srt)
+                    for _g in range(group):
+                        out = fn_t(dev, srt)
                     _ = np.asarray(out["t"][:128])
-                    times.append(time.perf_counter() - t0)
+                    times.append((time.perf_counter() - t0) / group)
                 times = np.asarray(times)
                 mr = n / times / 1e6
                 hits = int(np.asarray(
@@ -158,6 +178,67 @@ def main(argv=None):
                       f"(avg {mr.mean():.2f}, min {mr.min():.2f}, "
                       f"max {mr.max():.2f}, n={args.iters}; "
                       f"{hits} intersections)", flush=True)
+
+
+# camera + emitter placement per scene (matches the *_primary_rays
+# viewpoints in utils.testscenes)
+_RENDER_CAMS = {
+    "hall": ((2.5, 5.0, 5.0), (1.0, -0.12, 0.02), 60.0, "inside"),
+    "crown": ((4.2, 1.8, 1.2), (-4.2, -1.4, -1.2), 42.0, "above"),
+    "powerplant": ((-30.0, 60.0, -30.0), (130.0, -40.0, 130.0), 55.0,
+                   "above"),
+}
+
+
+def _renderer_sweep(args, sizes):
+    """Full path-tracer throughput on the benchmark scenes (the
+    reference's bench.sh renderer rows)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from ..render import film as film_mod
+    from ..render.camera import Camera
+    from ..render.compiler import compile_mesh, packet_mode
+    from ..render.integrator import render_iteration_persistent
+    from ..utils import testscenes
+
+    W, H, spp = args.width, args.height, args.spp
+    for scene_name in args.scenes.split(","):
+        make_name, _rays, dflt = _SCENES[scene_name]
+        tris = sizes.get(scene_name, dflt)
+        verts, idx = getattr(testscenes, make_name)(tris)
+        eye, dirv, fov, emitter = _RENDER_CAMS[scene_name]
+        scene = compile_mesh(verts, idx, max_path_len=args.mpl,
+                             emitter=emitter)
+        mode = packet_mode(scene.device)
+        packet = (mode if (mode and jax.default_backend() == "tpu")
+                  else False)
+        # per-step pool re-sort: +32% on hall with the packet kernel
+        # (experiments/measure_pool_sort.py), films bit-identical
+        sort = bool(packet)
+        cam = Camera.make(eye, dirv, (0, 1, 0), fov, W, H)
+        film = film_mod.new_film(W, H)
+        film = render_iteration_persistent(scene.device, cam, film, W, H,
+                                           spp, 0, packet=packet,
+                                           sort=sort)
+        jax.block_until_ready(film)
+        times = []
+        for it in range(1, args.iters + 1):
+            t0 = time.perf_counter()
+            film = render_iteration_persistent(scene.device, cam, film,
+                                               W, H, spp, it,
+                                               packet=packet, sort=sort)
+            jax.block_until_ready(film)
+            times.append(time.perf_counter() - t0)
+        ms = np.sort(W * H * spp / np.asarray(times) / 1e6)
+        mean_lum = float(np.asarray(film).mean()) / (args.iters + 1)
+        print(f"{scene_name} : render({W}x{H} spp{spp} mpl{args.mpl}, "
+              f"traversal={packet or 'tiled'}) : "
+              f"{ms[len(ms) // 2]:.2f} Msamples/s "
+              f"(min {ms[0]:.2f}, max {ms[-1]:.2f}, n={args.iters}; "
+              f"mean film {mean_lum:.4f})", flush=True)
 
 
 if __name__ == "__main__":

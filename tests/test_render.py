@@ -125,6 +125,24 @@ def test_packet_render_matches(cornell):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sorted_traversal_matches(cornell):
+    """sort=True (per-step wavefront re-sort before traversal, the
+    reference's every-bounce sort_rays — mapping_cpu.impala:409) must be
+    a pure reordering: hits scatter back to slot order, so films are
+    bit-identical for both traversal engines."""
+    from rodent_tpu.render.integrator import render_iteration_persistent
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 24, 16)
+
+    def run(packet, sort):
+        return np.asarray(render_iteration_persistent(
+            cornell.device, cam, film_mod.new_film(24, 16), 24, 16, 2, 0,
+            pool=256, packet=packet, sort=sort))
+
+    base = run(False, False)
+    np.testing.assert_array_equal(run(False, True), base)
+    np.testing.assert_array_equal(run(True, True), run(True, False))
+
+
 def test_traversal_policies_agree(cornell):
     """packet=False / True / "hybrid" must produce the same film up to
     float reassociation noise across separately-compiled kernels (the
