@@ -45,6 +45,12 @@ def main(argv=None):
                    help="full-width progressive wavefront instead of the "
                         "persistent 32K regeneration pool (films are "
                         "bit-identical; persistent is ~4x faster)")
+    p.add_argument("--sort", choices=("auto", "on", "off"), default="auto",
+                   help="re-sort the wavefront every bounce before "
+                        "traversal (the reference's per-bounce "
+                        "sort_rays, mapping_cpu.impala:409): +32%% on "
+                        "hall-class scenes, films bit-identical; auto "
+                        "enables it for non-trivial scenes (>16K tris)")
     p.add_argument("--traversal", choices=("auto", "tiled", "packet",
                                            "hybrid", "hybrid-hbm"),
                    default="auto",
@@ -74,6 +80,8 @@ def main(argv=None):
     else:
         packet = {"tiled": False, "packet": True, "hybrid": "hybrid",
                   "hybrid-hbm": "hybrid-hbm"}[args.traversal]
+    num_tris = scene.device["tri_geo"].shape[0]
+    sort = (args.sort == "on" or (args.sort == "auto" and num_tris > 16384))
     cam = Camera.make(args.eye, args.dir, args.up, args.fov,
                       args.width, args.height)
     film = film_mod.new_film(args.width, args.height)
@@ -100,7 +108,7 @@ def main(argv=None):
         from ..render.integrator import render_iteration_persistent
         step = lambda f, i: render_iteration_persistent(
             scene.device, cam, f, args.width, args.height, args.spp, i,
-            packet=packet)
+            packet=packet, sort=sort)
 
     samples_per_iter = args.width * args.height * args.spp
     times = []

@@ -15,6 +15,18 @@ every per-ray scalar in (R, 128) full-tile layout (B = R*128):
 - child ordering uses the Batcher sorting network on (R, 128) columns
   (the data-parallel analog of src/traversal/stack.impala sort_n).
 
+Staged row compaction (compact_stages > 0): the lockstep loop pays
+max-trips x full width while mean utilization is 0.31-0.43 (measured
+counters). Per-ray compaction is unaffordable (~60 state arrays of 1D
+gathers per element), but at 128-ray ROW granularity cone-sorted rays
+die together (experiments/analyze_row_compaction.py: staged halving
+saves 1.7x/2.1x/2.0x total row-iterations on primary/ao/bounces). Each
+stage runs the while_loop until the live rows fit in half the width,
+permutes live rows to the front (row gathers), retires the dead half's
+hits, and statically re-traces the SAME body at half width — a cascade
+of while_loops with static shapes, legal inside one jit (and inside the
+renderer's persistent loop).
+
 Semantics are identical to traversal.api.traverse (same reference
 semantics: src/traversal/mapping_cpu.impala:138-384, intersection.impala
 :164-208); api.traverse remains as the readable oracle and both are
@@ -59,13 +71,12 @@ NODE_STACK_DEPTH = 24
 LEAF_STACK_DEPTH = 16
 
 
-def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
-                        any_hit=False, stack_depth=None,
-                        debug_counters=False):
-    """Component-level traversal: org/dirv/inv_d/inv_o are Vec3 tuples of
-    (R, 128) arrays, tmin/tmax (R, 128). Returns a hit dict of (R, 128)
-    arrays {t, u, v, prim_id, geom_id}; rays with tmax < tmin are skipped
-    (dead-slot convention used by the integrator).
+def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
+                debug_counters=False):
+    """One lockstep dual-queue while_loop at the current (static) width.
+    Runs until fewer than `stop_rows` rows still have work (stop_rows=0:
+    drain completely). rays is {"org": Vec3, "dir": Vec3, "inv_d": Vec3,
+    "tmin": (R, 128)}; state is the traversal state pytree.
 
     Dual-queue form: inner-node refs and leaf-packet refs live on separate
     stacks and every loop iteration retires one of EACH per ray (one wide
@@ -75,42 +86,12 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     stalls when its leaf stack could overflow (lptr > S_L - arity), which
     guarantees boundedness; leaves always drain, so progress is
     guaranteed."""
-    from .api import BvhMeta
+    org, dirv = rays["org"], rays["dir"]
+    inv_d, tmin = rays["inv_d"], rays["tmin"]
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
-    # node stack sized to the tree's worst case (BvhMeta is a static pytree
-    # node computed host-side in bvh_to_device) so pushes cannot be
-    # silently dropped; shallow trees get a SMALLER stack than the old
-    # fixed 24, which shrinks the one-hot select chains
-    meta = dev.get("meta")
-    S_N = stack_depth or (max(meta.node_stack, 4)
-                          if isinstance(meta, BvhMeta) else NODE_STACK_DEPTH)
-    S_L = LEAF_STACK_DEPTH
     R = tmin.shape[0]
-
     zero = jnp.zeros((R, 128), jnp.int32)
-    live = tmax >= tmin
-    nstack = (jnp.ones((R, 128), jnp.int32),) + (zero,) * (S_N - 1)
-    lstack = (zero,) * S_L
-    nptr = jnp.where(live, jnp.int32(1), jnp.int32(0))
-    lptr = zero
-
-    state = {
-        "nstack": nstack, "lstack": lstack,
-        "nptr": nptr, "lptr": lptr,
-        "t": tmax,
-        "u": jnp.zeros((R, 128), jnp.float32),
-        "v": jnp.zeros((R, 128), jnp.float32),
-        "prim_id": jnp.full((R, 128), -1, jnp.int32),
-        "geom_id": jnp.full((R, 128), -1, jnp.int32),
-    }
-    if debug_counters:
-        # iters: loop trips; leaf_iters: trips whose leaf unit fired;
-        # live_sum: sum over trips of live-ray count (the pay-mean-not-max
-        # headroom: work_done/B vs iters)
-        state["iters"] = jnp.zeros((), jnp.int32)
-        state["leaf_iters"] = jnp.zeros((), jnp.int32)
-        state["live_sum"] = jnp.zeros((), jnp.float32)
 
     def gather_cols(table, idx):
         """Flat row gather + relayout to component-major (C, R, 128)."""
@@ -132,7 +113,11 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
         return code, jnp.where(can, top, ptr)
 
     def cond(s):
-        return jnp.any((s["nptr"] > 0) | (s["lptr"] > 0))
+        live = (s["nptr"] > 0) | (s["lptr"] > 0)
+        if stop_rows <= 0:
+            return jnp.any(live)
+        n_live = jnp.sum(jnp.any(live, axis=1).astype(jnp.int32))
+        return n_live > stop_rows
 
     def body(state):
         nstack = list(state["nstack"])
@@ -325,8 +310,73 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                 jnp.float32)
         return out
 
-    state = jax.lax.while_loop(cond, body, state)
-    out = {k: state[k] for k in ("t", "u", "v", "prim_id", "geom_id")}
+    return jax.lax.while_loop(cond, body, state)
+
+
+_HIT_KEYS = ("t", "u", "v", "prim_id", "geom_id")
+
+
+def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
+                        any_hit=False, stack_depth=None,
+                        debug_counters=False, compact_stages=0):
+    """Component-level traversal: org/dirv/inv_d/inv_o are Vec3 tuples of
+    (R, 128) arrays, tmin/tmax (R, 128). Returns a hit dict of (R, 128)
+    arrays {t, u, v, prim_id, geom_id}; rays with tmax < tmin are skipped
+    (dead-slot convention used by the integrator).
+
+    compact_stages > 0 enables staged row compaction (see module
+    docstring): each stage drains until the live rows fit in half the
+    width, then live rows are permuted to the front and the loop re-runs
+    at half the (static) width. Rays should be cone-sorted so rows die
+    together; results are identical (hits are scattered back to original
+    rows). Incompatible with debug_counters."""
+    from .api import BvhMeta
+    arity = dev["nodes"].shape[1] // 7
+    # node stack sized to the tree's worst case (BvhMeta is a static pytree
+    # node computed host-side in bvh_to_device) so pushes cannot be
+    # silently dropped; shallow trees get a SMALLER stack than the old
+    # fixed 24, which shrinks the one-hot select chains
+    meta = dev.get("meta")
+    S_N = stack_depth or (max(meta.node_stack, 4)
+                          if isinstance(meta, BvhMeta) else NODE_STACK_DEPTH)
+    S_L = LEAF_STACK_DEPTH
+    R = tmin.shape[0]
+
+    zero = jnp.zeros((R, 128), jnp.int32)
+    live = tmax >= tmin
+    nstack = (jnp.ones((R, 128), jnp.int32),) + (zero,) * (S_N - 1)
+    lstack = (zero,) * S_L
+    nptr = jnp.where(live, jnp.int32(1), jnp.int32(0))
+    lptr = zero
+
+    state = {
+        "nstack": nstack, "lstack": lstack,
+        "nptr": nptr, "lptr": lptr,
+        "t": tmax,
+        "u": jnp.zeros((R, 128), jnp.float32),
+        "v": jnp.zeros((R, 128), jnp.float32),
+        "prim_id": jnp.full((R, 128), -1, jnp.int32),
+        "geom_id": jnp.full((R, 128), -1, jnp.int32),
+    }
+    if debug_counters:
+        # iters: loop trips; leaf_iters: trips whose leaf unit fired;
+        # live_sum: sum over trips of live-ray count (the pay-mean-not-max
+        # headroom: work_done/B vs iters)
+        state["iters"] = jnp.zeros((), jnp.int32)
+        state["leaf_iters"] = jnp.zeros((), jnp.int32)
+        state["live_sum"] = jnp.zeros((), jnp.float32)
+
+    rays = {"org": org, "dir": dirv, "inv_d": inv_d, "tmin": tmin}
+
+    if compact_stages and not debug_counters and R >= 8:
+        out = _traverse_staged(dev, rays, state, any_hit, S_N, S_L,
+                               compact_stages)
+        out["t"] = jnp.where(out["prim_id"] < 0, tmax, out["t"])
+        return out
+
+    state = _stage_loop(dev, rays, state, 0, any_hit, S_N, S_L,
+                        debug_counters)
+    out = {k: state[k] for k in _HIT_KEYS}
     # miss semantics: t == original tmax
     out["t"] = jnp.where(out["prim_id"] < 0, tmax, out["t"])
     if debug_counters:
@@ -335,8 +385,47 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     return out
 
 
+def _traverse_staged(dev, rays, state, any_hit, S_N, S_L, max_stages):
+    """Staged-halving cascade: while_loops at R, R/2, R/4, ... widths with
+    row compaction between stages (experiments/analyze_row_compaction.py:
+    total row-iterations drop 1.7-2.1x on cone-sorted hall batches).
+    Returns the full-width hit dict in original row order."""
+    R = state["nptr"].shape[0]
+    row_ids = jnp.arange(R, dtype=jnp.int32)
+    outs = {k: state[k] for k in _HIT_KEYS}   # misses stay as initialized
+
+    width = R
+    for _ in range(max_stages):
+        next_w = width // 2
+        if next_w < 8:
+            break
+        state = _stage_loop(dev, rays, state, next_w, any_hit, S_N, S_L)
+        live_row = jnp.any((state["nptr"] > 0) | (state["lptr"] > 0),
+                           axis=1)
+        # live rows first; stable keeps the cone-sort order inside each
+        # class, so compacted tiles remain coherent
+        order = jnp.argsort(~live_row, stable=True)
+        rays = jax.tree.map(lambda x: x[order], rays)
+        state = jax.tree.map(lambda x: x[order], state)
+        row_ids = row_ids[order]
+        # retire the (all-dead) tail half: scatter its hits to original
+        # rows, then statically slice everything to the front half
+        tail_ids = row_ids[next_w:]
+        for k in _HIT_KEYS:
+            outs[k] = outs[k].at[tail_ids].set(state[k][next_w:])
+        rays = jax.tree.map(lambda x: x[:next_w], rays)
+        state = jax.tree.map(lambda x: x[:next_w], state)
+        row_ids = row_ids[:next_w]
+        width = next_w
+
+    state = _stage_loop(dev, rays, state, 0, any_hit, S_N, S_L)
+    for k in _HIT_KEYS:
+        outs[k] = outs[k].at[row_ids].set(state[k])
+    return outs
+
+
 def traverse_tiled(dev, rays, any_hit=False, stack_depth=None,
-                   debug_counters=False):
+                   debug_counters=False, compact_stages=0):
     """Row-layout wrapper over traverse_components; same contract as
     api.traverse."""
     B = rays["org"].shape[0]
@@ -356,7 +445,8 @@ def traverse_tiled(dev, rays, any_hit=False, stack_depth=None,
         tmax = jnp.where(pad_dead, -1.0, tmax)
     out = traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                               any_hit=any_hit, stack_depth=stack_depth,
-                              debug_counters=debug_counters)
+                              debug_counters=debug_counters,
+                              compact_stages=compact_stages)
     counters = out.pop("counters", None)
 
     def untile(x):

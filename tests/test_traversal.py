@@ -179,6 +179,32 @@ def test_tiled_matches_api():
     np.testing.assert_array_equal(blocked_a, blocked_b)
 
 
+def test_tiled_staged_compaction_matches():
+    """compact_stages > 0 (staged-halving row compaction with hit
+    scatter-back) must be exactly equal to the single-stage loop: the
+    cascade only re-partitions which while_loop iteration serves a ray,
+    never the traversal math."""
+    from rodent_tpu.traversal.tiled import traverse_tiled
+    verts, idx = random_tri_soup(300, seed=47)
+    bvh = build_bvh(verts, idx, arity=8)
+    dev = bvh_to_device(bvh)
+    # 1500 rays -> 12 rows: several halvings incl. a non-power-of-two
+    # tail row; mixed live/dead from the start (some tmax < tmin)
+    rays = random_rays(1500, seed=53)
+    rays["tmax"] = rays["tmax"].at[::7].set(-1.0)
+    for any_hit in (False, True):
+        base = traverse_tiled(dev, rays, any_hit=any_hit)
+        got = traverse_tiled(dev, rays, any_hit=any_hit, compact_stages=6)
+        if any_hit:
+            np.testing.assert_array_equal(
+                np.asarray(base["prim_id"]) >= 0,
+                np.asarray(got["prim_id"]) >= 0)
+        else:
+            for k in ("t", "u", "v", "prim_id", "geom_id"):
+                np.testing.assert_array_equal(np.asarray(base[k]),
+                                              np.asarray(got[k]))
+
+
 def test_octant_sort_preserves_results():
     from rodent_tpu.traversal.sorting import sort_rays
     verts, idx = random_tri_soup(200, seed=41)
