@@ -64,12 +64,37 @@ def test_decode_grayscale(tmp_path):
     assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 2.0
 
 
-def test_progressive_rejected(tmp_path):
-    arr = _gradient(16, 16)
+@pytest.mark.parametrize("subsampling", [0, 2])
+def test_progressive_matches_pil(tmp_path, subsampling):
+    """SOF2 progressive (spectral selection + successive approximation,
+    the scan script PIL/libjpeg emits by default) must decode like
+    libjpeg — the reference's image.cpp:131-195 handles these."""
+    arr = _gradient(40, 56)
+    ours, ref = _roundtrip(tmp_path, arr, quality=90, progressive=True,
+                           subsampling=subsampling)
+    assert ours.shape == ref.shape == (40, 56, 3)
+    assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 2.0
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 16
+
+
+def test_progressive_noise_and_restarts(tmp_path):
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (33, 47, 3), np.uint8)
     p = tmp_path / "t.jpg"
-    PIL_Image.fromarray(arr, "RGB").save(p, "JPEG", progressive=True)
-    with pytest.raises(ValueError, match="baseline"):
-        read_jpg(str(p))
+    PIL_Image.fromarray(arr, "RGB").save(p, "JPEG", quality=85,
+                                         subsampling=0, progressive=True,
+                                         restart_marker_blocks=2)
+    ours = read_jpg(str(p))
+    ref = np.asarray(PIL_Image.open(p).convert("RGB"), np.uint8)
+    assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 1.5
+
+
+def test_progressive_grayscale(tmp_path):
+    arr = _gradient(24, 24)[..., 0]
+    ours, ref = _roundtrip(tmp_path, arr, mode="L", quality=95,
+                           progressive=True)
+    assert ours.shape == (24, 24, 3)
+    assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 2.0
 
 
 def test_texture_loader_dispatches_jpeg(tmp_path):
