@@ -9,13 +9,13 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 import jax.numpy as jnp
 from rodent_tpu.accel import build_bvh
 from rodent_tpu.traversal.api import bvh_to_device, make_rays
-from rodent_tpu.traversal import pallas_pair as pp3
+from experiments import pallas_pair as pp3
 from rodent_tpu.traversal.sorting import sort_rays
 from rodent_tpu.utils.testscenes import hall_primary_rays, make_hall
 
 verts, idx = make_hall(260_000)
 bvh = build_bvh(verts, idx, arity=8, packet=8)
-dev = bvh_to_device(bvh, pair=True)
+dev = pp3.pair_device(bvh)
 org, dirs = hall_primary_rays(1024, 1024)
 n = len(org)
 prim = make_rays(jnp.asarray(org), jnp.asarray(dirs),

@@ -19,7 +19,7 @@ def main():
     import jax.numpy as jnp
     from rodent_tpu.accel import build_bvh
     from rodent_tpu.traversal.api import bvh_to_device, make_rays
-    from rodent_tpu.traversal import pallas_pair as pp3
+    from experiments import pallas_pair as pp3
     from rodent_tpu.traversal.pallas_packet import traverse_packet
     from rodent_tpu.traversal.sorting import (_morton10, ray_octant,
                                               sort_rays)
@@ -28,7 +28,7 @@ def main():
 
     verts, idx = make_hall(args.tris)
     bvh = build_bvh(verts, idx, arity=8, packet=8, leaf_threshold=12)
-    dev = bvh_to_device(bvh, pair=True)
+    dev = pp3.pair_device(bvh)
     lo, hi = verts.min(0), verts.max(0)
     print(f"nodes={bvh.num_nodes} packets={bvh.num_packets} "
           f"backend={jax.default_backend()}")

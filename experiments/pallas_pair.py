@@ -71,6 +71,19 @@ def pair_ok(dev):
     return "pair_nodes" in dev
 
 
+def pair_device(bvh):
+    """bvh -> device dict with the pair layouts added (this used to be
+    bvh_to_device(pair=True) while the kernel was a production
+    candidate; the opt-in moved here with the experiment — the pair
+    tables roughly double device memory, e.g. +551 MB at 4.3M tris)."""
+    from rodent_tpu.traversal.api import bvh_to_device
+    dev = dict(bvh_to_device(bvh))
+    pn, pt = pack_tables(np.asarray(dev["nodes"]), np.asarray(dev["tris"]))
+    dev["pair_nodes"] = jnp.asarray(pn)
+    dev["pair_tris"] = jnp.asarray(pt)
+    return dev
+
+
 def pack_tables(nodes, tris):
     """Pair-layout tables from bvh_to_device's flat rows.
 
@@ -468,7 +481,7 @@ def _run(dev, comp, B, any_hit, tile_rays, streams, interpret,
          count_pops, ablate=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from .api import BvhMeta
+    from rodent_tpu.traversal.api import BvhMeta
 
     interpret = interpret or jax.default_backend() != "tpu"
     pair_nodes = dev["pair_nodes"]

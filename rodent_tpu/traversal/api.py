@@ -122,9 +122,8 @@ def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def bvh_to_device(bvh, pair=False):
-    """WideBvh (numpy) -> dict of flat-row jnp arrays for traverse().
-    pair=True additionally packs the pallas_pair experiment's layouts."""
+def bvh_to_device(bvh):
+    """WideBvh (numpy) -> dict of flat-row jnp arrays for traverse()."""
     a = bvh.arity
     nn = bvh.num_nodes
     nodes = np.zeros((nn, 7 * a), np.float32)
@@ -150,15 +149,8 @@ def bvh_to_device(bvh, pair=False):
         "tris": jnp.asarray(tris),
         "meta": BvhMeta(shared_stack=s_need, node_stack=n_need),
     }
-    if pair and a == 8 and m == 8:
-        # pair-kernel row layouts (traversal.pallas_pair) — opt-in: the
-        # pair kernel is a retired experiment (ROADMAP round-2), and its
-        # tables roughly double device memory (e.g. +551 MB on a 4.3M-tri
-        # scene)
-        from .pallas_pair import pack_tables
-        pn, pt = pack_tables(nodes, tris)
-        dev["pair_nodes"] = jnp.asarray(pn)
-        dev["pair_tris"] = jnp.asarray(pt)
+    # (the retired pair-kernel experiment lives in experiments/
+    # pallas_pair.py and packs its own layouts via pair_device there)
     return dev
 
 

@@ -303,58 +303,6 @@ def test_packet_kernel_tris_hbm_matches_api():
     np.testing.assert_array_equal(wa, ga)
 
 
-def test_pair_kernel_matches_api():
-    """The pair-layout kernel (v3, interpret mode on CPU) must agree
-    exactly with api.traverse — hits, uv, ids, and any-hit occlusion —
-    including its MXU-broadcast and vector-stack machinery."""
-    from rodent_tpu.traversal.pallas_pair import traverse_pair
-    verts, idx = random_tri_soup(257, seed=47)
-    bvh = build_bvh(verts, idx, arity=8, packet=8)
-    dev = bvh_to_device(bvh, pair=True)
-    rays = random_rays(300, seed=49)  # non-multiple of tile size
-    a = traverse(dev, rays)
-    b = traverse_pair(dev, rays, tile_rays=256)
-    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
-                               atol=1e-5, rtol=1e-6)
-    for k in ("u", "v"):
-        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
-                                   atol=1e-5, rtol=1e-5)
-    np.testing.assert_array_equal(np.asarray(a["prim_id"]),
-                                  np.asarray(b["prim_id"]))
-    np.testing.assert_array_equal(np.asarray(a["geom_id"]),
-                                  np.asarray(b["geom_id"]))
-    rays2 = random_rays(256, seed=51, tmax=2.0)
-    wa = np.asarray(traverse(dev, rays2, any_hit=True)["prim_id"]) >= 0
-    ga = np.asarray(traverse_pair(dev, rays2, any_hit=True,
-                                  tile_rays=256)["prim_id"]) >= 0
-    np.testing.assert_array_equal(wa, ga)
-
-
-def test_pair_kernel_deep_tree():
-    """Multi-packet leaf chains + a deep unbalanced subtree: the vector
-    stack must hold one entry per pending node, and leaf chains walk
-    packet by packet until the end flag."""
-    from rodent_tpu.traversal.pallas_pair import traverse_pair
-    r = np.random.RandomState(83)
-    # clustered soup makes deep subtrees + >8-tri leaves after DP merge
-    base = np.repeat(r.randn(40, 3) * 5.0, 20, axis=0).astype(np.float32)
-    verts = np.concatenate([
-        base, base + r.randn(800, 3).astype(np.float32) * 0.02,
-        base + r.randn(800, 3).astype(np.float32) * 0.02])
-    idx = np.stack([np.arange(800), np.arange(800) + 800,
-                    np.arange(800) + 1600,
-                    np.zeros(800)], 1).astype(np.int32).reshape(-1)
-    bvh = build_bvh(verts, idx, arity=8, packet=8)
-    dev = bvh_to_device(bvh, pair=True)
-    rays = random_rays(512, seed=85)
-    a = traverse(dev, rays)
-    b = traverse_pair(dev, rays, tile_rays=512)
-    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
-                               atol=1e-5, rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(a["prim_id"]),
-                                  np.asarray(b["prim_id"]))
-
-
 def chain_bvh(depth, arity=4):
     """Hand-built adversarial BVH: a depth-long chain where every node has
     one inner child and one single-tri leaf, and ALL boxes overlap — a ray
