@@ -69,7 +69,8 @@ def make_rays_c(org, dirv, tmin, tmax):
             "tmin": tmin, "tmax": tmax}
 
 
-def _traverse(scene, rays, any_hit=False, packet=False, sort=False):
+def _traverse(scene, rays, any_hit=False, packet=False, sort=False,
+              compact=0):
     """packet=True uses the Pallas shared-stack kernel (BVH must fit in
     VMEM); packet="hbm" uses its big-scene mode (node table in VMEM,
     Tri rows DMA'd from HBM — San-Miguel-class scenes); default is the
@@ -94,7 +95,10 @@ def _traverse(scene, rays, any_hit=False, packet=False, sort=False):
         fn = partial(traverse_packet_components,
                      tris_hbm=(packet == "hbm"))
     else:
-        fn = traverse_components
+        # compact: staged row compaction (tiled.py) — pays when rays are
+        # cone-sorted so rows die together; meaningless for the packet
+        # kernel (its tiles already retire independently)
+        fn = partial(traverse_components, compact_stages=compact)
     if sort and "scene_lo" in scene:
         shape = rays["tmin"].shape
         flat3 = tuple(x.reshape(-1) for x in rays["org"])
@@ -276,7 +280,8 @@ def _splat_planar(planes, pixel, color, mask):
                  for p, c in zip(planes, color))
 
 
-def _shade(scene, rays, hit, state, packet=False, sort=False):
+def _shade(scene, rays, hit, state, packet=False, sort=False,
+           compact=0):
     """One shading stage: on_hit accumulation, NEE shadow rays, bounce
     sampling. Radiance accumulates into the per-slot register state["acc"]
     (splatted to the film only when the path retires — film scatter-adds
@@ -349,7 +354,7 @@ def _shade(scene, rays, hit, state, packet=False, sort=False):
     shadow_rays = make_rays_c(surf["point"], light_vec, off,
                               jnp.where(nee_ok, 1.0 - OFFSET, -1.0))
     shadow_hit = _traverse(scene, shadow_rays, any_hit=True,
-                           packet=packet, sort=sort)
+                           packet=packet, sort=sort, compact=compact)
     add_shadow = nee_ok & (shadow_hit["prim_id"] < 0)
     acc = vm.add(acc, vm.where(add_shadow, shadow_color, zero3))
 
@@ -508,12 +513,13 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
 
 
 @partial(rjit, static_argnames=("camera", "width", "height", "spp",
-                                   "pool", "packet", "n_pixels", "sort"),
+                                   "pool", "packet", "n_pixels", "sort",
+                                   "compact"),
          donate_argnames=("film",))
 def render_iteration_persistent(scene, camera, film, width, height, spp,
                                 iteration, pool=None, packet=False,
                                 pixel_lo=0, n_pixels=None, sample_lo=0,
-                                spp_weight=None, sort=False):
+                                spp_weight=None, sort=False, compact=0):
     """Persistent-wavefront iteration: the TPU form of the reference's
     megakernel regeneration trick (gpu_mega_kernel_trace,
     src/render/mapping_gpu.impala:371-474 — dead paths immediately pull
@@ -584,9 +590,10 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     def body(c):
         rays, state, film = c["rays"], c["state"], c["film"]
         next_free = c["next_free"]
-        hit = _traverse(scene, rays, packet=packet, sort=sort)
+        hit = _traverse(scene, rays, packet=packet, sort=sort,
+                        compact=compact)
         rays, state = _shade(scene, rays, hit, state, packet=packet,
-                             sort=sort)
+                             sort=sort, compact=compact)
 
         # regenerate: dead *real* slots pull the next unprocessed sample
         dead = ~state["alive"] & (tile(jnp.ones(pool, jnp.int32), r) == 1)

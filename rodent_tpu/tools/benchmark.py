@@ -91,6 +91,10 @@ def main(argv=None):
         "hbm": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah,
                                                   tris_hbm=True),
         "tiled": lambda dev, r, ah: traverse_tiled(dev, r, any_hit=ah),
+        # staged row compaction (tiled.py compact_stages): pays when the
+        # cone sort makes rows die together
+        "tiled-c": lambda dev, r, ah: traverse_tiled(dev, r, any_hit=ah,
+                                                     compact_stages=5),
     }
     # VMEM budget gates (bytes of f32 tables) for the Pallas variants
     VMEM_BUDGET = 80 * 1024 * 1024
