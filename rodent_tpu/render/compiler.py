@@ -475,14 +475,16 @@ def packet_mode(device, limit_bytes=80 * 1024 * 1024):
     """Auto-selects the renderer's traversal policy from the scene's
     VMEM footprint: "hybrid" (whole BVH VMEM-resident), "hybrid-hbm"
     (node table fits, Tri table DMA'd from HBM — San-Miguel-class), or
-    False (nodes exceed VMEM too: XLA dual-queue everywhere)."""
+    "hybrid-giga" (>12M-tri scenes: node table exceeds VMEM too, both
+    tables DMA'd per pop). The XLA dual-queue path remains available
+    explicitly (packet=False / --traversal tiled)."""
     nodes_b = device["bvh"]["nodes"].size * 4
     tris_b = device["bvh"]["tris"].size * 4
     if nodes_b + tris_b <= limit_bytes:
         return "hybrid"
     if nodes_b <= limit_bytes:
         return "hybrid-hbm"
-    return False
+    return "hybrid-giga"
 
 
 def _mat_eq(a, b):

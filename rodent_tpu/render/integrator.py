@@ -93,7 +93,8 @@ def _traverse(scene, rays, any_hit=False, packet=False, sort=False,
     order is pixel-scrambled by regeneration."""
     if packet:
         fn = partial(traverse_packet_components,
-                     tris_hbm=(packet == "hbm"))
+                     tris_hbm=(packet in ("hbm", "giga")),
+                     nodes_hbm=(packet == "giga"))
     else:
         # compact: staged row compaction (tiled.py) — pays when rays are
         # cone-sorted so rows die together; meaningless for the packet
@@ -445,11 +446,12 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     def cond(c):
         return jnp.any(c["state"]["alive"])
 
-    loop_packet = packet if packet in (True, "hbm") else False
-    if packet in ("hybrid", "hybrid-hbm"):
+    loop_packet = packet if packet in (True, "hbm", "giga") else False
+    if packet in ("hybrid", "hybrid-hbm", "hybrid-giga"):
         # peel the coherent depth-0 iteration onto the packet kernel
         # (big-scene flavor when the Tri table exceeds VMEM)
-        peel = True if packet == "hybrid" else "hbm"
+        peel = {"hybrid": True, "hybrid-hbm": "hbm",
+                "hybrid-giga": "giga"}[packet]
         hit = _traverse(scene, rays, packet=peel)
         rays, state = _shade(scene, rays, hit, state, packet=peel)
 
@@ -543,7 +545,8 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     # apply to a mixed-depth pool; map them to their full-packet flavor
     # ("hybrid-hbm" MUST keep the Tri-DMA mode — its Tri table exceeds
     # VMEM)
-    packet = {"hybrid": True, "hybrid-hbm": "hbm"}.get(packet, packet)
+    packet = {"hybrid": True, "hybrid-hbm": "hbm",
+              "hybrid-giga": "giga"}.get(packet, packet)
     n_pixels = n_pixels or width * height
     total = n_pixels * spp
     weight = spp_weight if spp_weight is not None else (1.0 / spp)

@@ -95,6 +95,11 @@ def main(argv=None):
         # cone sort makes rows die together
         "tiled-c": lambda dev, r, ah: traverse_tiled(dev, r, any_hit=ah,
                                                      compact_stages=5),
+        # giga-scene mode: node AND Tri tables in HBM, one DMA per pop
+        # (>12M-tri scenes whose node table exceeds VMEM)
+        "giga": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah,
+                                                   tris_hbm=True,
+                                                   nodes_hbm=True),
     }
     # VMEM budget gates (bytes of f32 tables) for the Pallas variants
     VMEM_BUDGET = 80 * 1024 * 1024

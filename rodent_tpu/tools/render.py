@@ -52,7 +52,8 @@ def main(argv=None):
                         "hall-class scenes, films bit-identical; auto "
                         "enables it for non-trivial scenes (>16K tris)")
     p.add_argument("--traversal", choices=("auto", "tiled", "packet",
-                                           "hybrid", "hybrid-hbm"),
+                                           "hybrid", "hybrid-hbm",
+                                           "hybrid-giga"),
                    default="auto",
                    help="kernel policy: packet for everything, tiled "
                         "(XLA dual-queue) for everything, or hybrid "
@@ -79,7 +80,8 @@ def main(argv=None):
                   else False)
     else:
         packet = {"tiled": False, "packet": True, "hybrid": "hybrid",
-                  "hybrid-hbm": "hybrid-hbm"}[args.traversal]
+                  "hybrid-hbm": "hybrid-hbm",
+                  "hybrid-giga": "hybrid-giga"}[args.traversal]
     num_tris = scene.device["tri_geo"].shape[0]
     sort = (args.sort == "on" or (args.sort == "auto" and num_tris > 16384))
     cam = Camera.make(args.eye, args.dir, args.up, args.fov,

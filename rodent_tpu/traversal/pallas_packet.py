@@ -75,8 +75,14 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             *rest, arity, m, any_hit, stack_size,
             node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False,
             count_pops=False, ablate=(), frustum=False, tris_hbm=False,
-            leaf_chain=1):
+            nodes_hbm=False, leaf_chain=1):
     rest = list(rest)
+    if nodes_hbm:
+        # giga-scene mode (>12M tris: the node table itself exceeds
+        # VMEM): nodes_ref lives in HBM; node pops DMA one packed line
+        # (2 rows) into this VMEM line, like the leaf path below
+        node_buf, node_sem = rest[-2:]
+        rest = rest[:-2]
     if tris_hbm:
         # big-scene mode: tris_ref lives in HBM (ANY); leaf pops DMA one
         # Tri row into this VMEM line (+ its completion semaphore)
@@ -202,10 +208,25 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                     jnp.where(swap, childs[i], childs[j]))
         return childs
 
+    def load_node_row(code):
+        """Node-row readers; DMA from HBM in giga-scene mode."""
+        if nodes_hbm:
+            cp = pltpu.make_async_copy(
+                nodes_ref.at[pl.ds((code - 1) // node_rpl, 1)],
+                node_buf, node_sem)
+            cp.start()
+            cp.wait()
+            row = node_buf[pl.ds(0, 1), :]
+            if node_rpl == 2:
+                row = pltpu.roll(row, -((code - 1) % 2) * 64, axis=1)
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            return (lambda j: row[0, j]), (lambda j: row_i[0, j])
+        return load_row(nodes_ref, code - 1, node_rpl)
+
     def node_step(code, t_cur, pure):
         # rows are packed two-per-128-lane line (VMEM pads the last dim
         # to 128 lanes, so 56-wide rows would waste 2.3x VMEM)
-        rd, rdi = load_row(nodes_ref, code - 1, node_rpl)
+        rd, rdi = load_node_row(code)
         if "nonodetest" in ablate:  # ablation: skip the vector slab
             # tests — push every child unsorted (correct hits, inflated
             # pop count; ns/pop isolates the slab-test vector cost)
@@ -596,7 +617,7 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                   t_ref, u_ref, v_ref, prim_ref, geom_ref,
                   *rest, arity, m, any_hit, stack_size, tile_rows,
                   n_way, node_rpl=2, tri_rpl=2, tris_hbm=False,
-                  leaf_chain=1):
+                  nodes_hbm=False, leaf_chain=1):
     """n_way independent ray tiles per grid step, one fused loop.
 
     The single-tile kernel's per-pop cost is ~600 ns of poorly-packed
@@ -612,6 +633,11 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
     Production config only (pops=1, vector row loads); semantics
     identical to _kernel over each sub-tile."""
     rest = list(rest)
+    if nodes_hbm:
+        node_scratch = rest[-2 * n_way:]
+        rest = rest[:-2 * n_way]
+    else:
+        node_scratch = [None, None] * n_way
     if tris_hbm:
         hbm_scratch = rest[-2 * n_way:]
         rest = rest[:-2 * n_way]
@@ -632,7 +658,7 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
 
     zero = jnp.int32(0)
 
-    def make_tile(lo, stack_ref, tri_buf, tri_sem):
+    def make_tile(lo, stack_ref, tri_buf, tri_sem, node_buf, node_sem):
         """Builds (cond_one, body_one, init, writeback) for the tile in
         rows [lo, lo + tile_rows)."""
         sl = pl.ds(lo, tile_rows)
@@ -651,7 +677,19 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                      & (pos[2] | neg[2]))
 
         def node_step(code, t_cur, pure):
-            rd, rdi = load_row(nodes_ref, code - 1, node_rpl)
+            if nodes_hbm:
+                cp = pltpu.make_async_copy(
+                    nodes_ref.at[pl.ds((code - 1) // node_rpl, 1)],
+                    node_buf, node_sem)
+                cp.start()
+                cp.wait()
+                row = node_buf[pl.ds(0, 1), :]
+                if node_rpl == 2:
+                    row = pltpu.roll(row, -((code - 1) % 2) * 64, axis=1)
+                row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+                rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
+            else:
+                rd, rdi = load_row(nodes_ref, code - 1, node_rpl)
             parts = []
             childs = []
             for c in range(arity):
@@ -846,7 +884,8 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
         return cond_one, body_one, init, writeback
 
     tiles = [make_tile(k * tile_rows, stacks[k], hbm_scratch[2 * k],
-                       hbm_scratch[2 * k + 1]) for k in range(n_way)]
+                       hbm_scratch[2 * k + 1], node_scratch[2 * k],
+                       node_scratch[2 * k + 1]) for k in range(n_way)]
     na = len(tiles[0][2])
 
     def cond(c):
@@ -875,6 +914,7 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                                interpret=False, pops=POPS,
                                scalar_reads=SCALAR_READS,
                                frustum=FRUSTUM, tris_hbm=False,
+                               nodes_hbm=False,
                                leaf_chain=LEAF_CHAIN, multi=MULTI):
     """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
     hit dict of (R, 128) arrays out (integrator-facing; dead rays =
@@ -897,8 +937,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     packed = jnp.stack(comp)
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                         pops, scalar_reads, frustum=frustum,
-                        tris_hbm=tris_hbm, leaf_chain=leaf_chain,
-                        multi=multi)
+                        tris_hbm=tris_hbm, nodes_hbm=nodes_hbm,
+                        leaf_chain=leaf_chain, multi=multi)
     t, u, v, p, g = [o[:R] for o in outs[:5]]
     t = jnp.where(p < 0, tmax, t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -907,7 +947,7 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
 def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                     interpret=False, pops=POPS,
                     scalar_reads=SCALAR_READS, ablate=(),
-                    frustum=FRUSTUM, tris_hbm=False,
+                    frustum=FRUSTUM, tris_hbm=False, nodes_hbm=False,
                     leaf_chain=LEAF_CHAIN, multi=MULTI):
     """Packet-kernel traversal; same contract as api.traverse.
     Requires the node table to fit in VMEM (~100 MB with the raised
@@ -937,7 +977,8 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                         pops, scalar_reads, ablate=ablate,
                         frustum=frustum, tris_hbm=tris_hbm,
-                        leaf_chain=leaf_chain, multi=multi)
+                        nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
+                        multi=multi)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -960,10 +1001,14 @@ def _pack_rows(table, force_single=False):
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                  pops=POPS, scalar_reads=SCALAR_READS, count_pops=False,
                  ablate=(), frustum=FRUSTUM, tris_hbm=False,
-                 leaf_chain=LEAF_CHAIN, multi=MULTI):
+                 nodes_hbm=False, leaf_chain=LEAF_CHAIN, multi=MULTI):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if nodes_hbm:
+        # giga-scene mode supports the production body only
+        assert not (frustum or scalar_reads or pops > 1 or count_pops), \
+            "nodes_hbm supports the production kernel body only"
     # no Mosaic off-TPU: fall back to the interpreter automatically so the
     # packet path stays testable on the CPU suite
     interpret = interpret or jax.default_backend() != "tpu"
@@ -983,13 +1028,16 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     meta = dev.get("meta")
     stack_size = (max(meta.shared_stack + 2, 16)
                   if isinstance(meta, BvhMeta) else STACK)
+    node_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if nodes_hbm
+                 else pl.BlockSpec(nodes2.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM))
     if multi > 1:
         assert nt % multi == 0 and not count_pops
         kern = functools.partial(
             _kernel_multi, arity=arity, m=m, any_hit=any_hit,
             stack_size=stack_size, tile_rows=tile_rows, n_way=multi,
             node_rpl=node_rpl, tri_rpl=tri_rpl, tris_hbm=tris_hbm,
-            leaf_chain=leaf_chain)
+            nodes_hbm=nodes_hbm, leaf_chain=leaf_chain)
         blk = multi * tile_rows
         return pl.pallas_call(
             kern,
@@ -1003,8 +1051,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
             ],
             in_specs=[pl.BlockSpec((11, blk, 128), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec(nodes2.shape, lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
+                      node_spec,
                       (pl.BlockSpec(memory_space=pltpu.ANY) if tris_hbm
                        else pl.BlockSpec(tris2.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))],
@@ -1014,7 +1061,10 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                             * multi
                             + ([pltpu.VMEM((1, 128), jnp.float32),
                                 pltpu.SemaphoreType.DMA(())] * multi
-                               if tris_hbm else [])),
+                               if tris_hbm else [])
+                            + ([pltpu.VMEM((1, 128), jnp.float32),
+                                pltpu.SemaphoreType.DMA(())] * multi
+                               if nodes_hbm else [])),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
@@ -1025,7 +1075,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                              scalar_reads=scalar_reads,
                              count_pops=count_pops, ablate=tuple(ablate),
                              frustum=frustum, tris_hbm=tris_hbm,
-                             leaf_chain=leaf_chain)
+                             nodes_hbm=nodes_hbm, leaf_chain=leaf_chain)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
@@ -1052,8 +1102,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         grid=(nt,),
         out_shape=out_shapes,
         in_specs=[rays_spec,
-                  pl.BlockSpec(nodes2.shape, lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
+                  node_spec,
                   (pl.BlockSpec(memory_space=pltpu.ANY) if tris_hbm else
                    pl.BlockSpec(tris2.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM))],
@@ -1063,6 +1112,9 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                            else [])
                         + ([pltpu.VMEM((1, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA(())] if tris_hbm
+                           else [])
+                        + ([pltpu.VMEM((1, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())] if nodes_hbm
                            else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),

@@ -154,6 +154,7 @@ def test_traversal_policies_agree(cornell):
     film0 = jnp.zeros((w * h, 3), jnp.float32)
     films = [np.asarray(render_sample(scene.device, cam, film0, w, h, 0, 0,
                                       packet=pol))
-             for pol in (False, True, "hybrid", "hbm", "hybrid-hbm")]
+             for pol in (False, True, "hybrid", "hbm", "hybrid-hbm",
+                         "giga", "hybrid-giga")]
     for f in films[1:]:
         np.testing.assert_allclose(f, films[0], atol=1e-5, rtol=1e-5)

@@ -303,6 +303,32 @@ def test_packet_kernel_tris_hbm_matches_api():
     np.testing.assert_array_equal(wa, ga)
 
 
+def test_packet_kernel_nodes_hbm_matches_api():
+    """The giga-scene mode (node table ALSO in HBM — for >12M-tri scenes
+    whose node table exceeds VMEM — one DMA per node pop) must agree
+    exactly with api.traverse, alone and combined with tris_hbm, in both
+    the single-tile and multi-tile kernel bodies."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8, packet=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=49)
+    a = traverse(dev, rays)
+    for kw in ({"multi": 1}, {"multi": 1, "tris_hbm": True},
+               {"multi": 2, "tris_hbm": True}):
+        b = traverse_packet(dev, rays, tile_rows=2, nodes_hbm=True, **kw)
+        np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                                   atol=1e-5, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                      np.asarray(b["prim_id"]))
+    rays2 = random_rays(256, seed=51, tmax=2.0)
+    wa = np.asarray(traverse(dev, rays2, any_hit=True)["prim_id"]) >= 0
+    ga = np.asarray(traverse_packet(dev, rays2, any_hit=True, tile_rows=2,
+                                    nodes_hbm=True, tris_hbm=True,
+                                    multi=2)["prim_id"]) >= 0
+    np.testing.assert_array_equal(wa, ga)
+
+
 def chain_bvh(depth, arity=4):
     """Hand-built adversarial BVH: a depth-long chain where every node has
     one inner child and one single-tri leaf, and ALL boxes overlap — a ray
