@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-3 measurement sweep (run on the real chip; ~30-45 min).
+# Produces benchmarks/results_tpu_r3.txt: traversal table (incl. the
+# staged-compaction tiled-c variant), renderer rows at the reference
+# bench config, and the focused experiments (pool sort, multi sweep,
+# bigscene DMA overlap).
+set -u
+cd "$(dirname "$0")/.."
+OUT=benchmarks/results_tpu_r3.txt
+{
+  echo "# rodent_tpu round-3 sweep ($(date -u +%F)) — v5e single chip"
+  echo "# traversal: scene x distribution x variant (median of N, Mrays/s)"
+  timeout 2400 python -u -m rodent_tpu.tools.benchmark \
+      --scenes hall,crown,powerplant --dists primary,ao,bounces \
+      --variants packet,hbm,tiled,tiled-c --iters 5
+  echo
+  echo "# renderer: reference bench config 1920x1088 spp4 mpl20 (Msamples/s)"
+  timeout 2400 python -u -m rodent_tpu.tools.benchmark --mode renderer \
+      --scenes hall,crown --iters 3
+} 2>&1 | grep -v WARNING | tee "$OUT"
