@@ -41,11 +41,15 @@ def main(argv=None):
                    help="octant+Morton ray reordering before traversal "
                         "(helps incoherent distributions)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
-    p.add_argument("--variant", choices=("tiled", "packet"),
+    p.add_argument("--variant", choices=("tiled", "tiled-c", "packet",
+                                         "hbm", "giga"),
                    default="tiled",
                    help="traversal engine: tiled (XLA dual-queue, any "
-                        "scene size) or packet (Pallas shared-stack, "
-                        "BVH must fit in VMEM; pair with --sort)")
+                        "scene size; tiled-c adds staged row "
+                        "compaction), packet (Pallas shared-stack, BVH "
+                        "in VMEM; pair with --sort), hbm (Tri table in "
+                        "HBM), or giga (node + Tri tables in HBM — no "
+                        "VMEM scene-size ceiling)")
     p.add_argument("--sharded", action="store_true",
                    help="scene-replicated, ray-sharded traversal over "
                         "all devices (SURVEY §2.5 multi-chip config)")
@@ -97,12 +101,15 @@ def main(argv=None):
                 for k, v in rays.items()}
         fn = rjit(lambda rr: traverse_sharded(dev, rr, mesh=mesh,
                                                  any_hit=args.any))
-    elif args.variant == "packet":
-        fn = rjit(lambda rr: traverse_packet(dev, rr,
-                                                any_hit=args.any))
+    elif args.variant in ("packet", "hbm", "giga"):
+        fn = rjit(lambda rr: traverse_packet(
+            dev, rr, any_hit=args.any,
+            tris_hbm=args.variant in ("hbm", "giga"),
+            nodes_hbm=args.variant == "giga"))
     else:
-        fn = rjit(lambda rr: traverse_tiled(dev, rr,
-                                               any_hit=args.any))
+        fn = rjit(lambda rr: traverse_tiled(
+            dev, rr, any_hit=args.any,
+            compact_stages=5 if args.variant == "tiled-c" else 0))
     hit = None
     for _ in range(max(args.warmup, 1)):
         hit = fn(rays)
