@@ -14,6 +14,11 @@ OUT=benchmarks/results_tpu_r3.txt
       --scenes hall,crown,powerplant --dists primary,ao,bounces \
       --variants packet,hbm,tiled,tiled-c --iters 5
   echo
+  echo "# big-scene DMA prefetch A/B (exact next-pop prefetch vs blocking)"
+  timeout 1800 python -u -m rodent_tpu.tools.benchmark \
+      --scenes powerplant --dists primary,bounces \
+      --variants hbm,hbm-nopf,giga,giga-nopf --iters 5
+  echo
   echo "# renderer: reference bench config 1920x1088 spp4 mpl20 (Msamples/s)"
   timeout 2400 python -u -m rodent_tpu.tools.benchmark --mode renderer \
       --scenes hall,crown --iters 3

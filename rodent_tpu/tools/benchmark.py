@@ -100,6 +100,14 @@ def main(argv=None):
         "giga": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah,
                                                    tris_hbm=True,
                                                    nodes_hbm=True),
+        # A/B rows: HBM modes with the exact next-pop DMA prefetch
+        # disabled (blocking start();wait() per pop, the round-2
+        # transport)
+        "hbm-nopf": lambda dev, r, ah: traverse_packet(
+            dev, r, any_hit=ah, tris_hbm=True, prefetch=False),
+        "giga-nopf": lambda dev, r, ah: traverse_packet(
+            dev, r, any_hit=ah, tris_hbm=True, nodes_hbm=True,
+            prefetch=False),
     }
     # VMEM budget gates (bytes of f32 tables) for the Pallas variants
     VMEM_BUDGET = 80 * 1024 * 1024
@@ -150,8 +158,9 @@ def main(argv=None):
                           f"(BVH {nodes_b + tris_b >> 20} MB > VMEM; "
                           f"use hbm)", flush=True)
                     continue
-                if variant == "hbm" and nodes_b > VMEM_BUDGET:
-                    print(f"{scene} : {dist} : hbm : skipped "
+                if (variant in ("hbm", "hbm-nopf")
+                        and nodes_b > VMEM_BUDGET):
+                    print(f"{scene} : {dist} : {variant} : skipped "
                           f"(nodes {nodes_b >> 20} MB > VMEM)", flush=True)
                     continue
                 # dev rides as a jit ARGUMENT (closure capture bakes the

@@ -67,7 +67,141 @@ SCALAR_READS = False  # direct scalar VMEM loads (1 row/line) vs row loads
 FRUSTUM = False  # row-frustum node tests (conservative, ~5x fewer ops)
 LEAF_CHAIN = 1   # Tri packets consumed per leaf pop (chained leaves)
 MULTI = 2        # independent tiles per grid step (interleaved pop chains)
+PREFETCH = True  # exact next-pop DMA prefetch in the HBM modes (below)
 _F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
+
+
+def _pf_helpers(pref_ref, tris_ref, tri_buf, tri_sem,
+                nodes_ref, node_buf, node_sem,
+                node_rpl, tris_hbm, nodes_hbm):
+    """Exact next-pop DMA prefetch for the HBM modes (fixes the blocking
+    `start(); wait()` serialization of tris_hbm / nodes_hbm pops).
+
+    Every pop can compute precisely which stack entry pops next — a
+    leaf's continuation packet, the first pushed child, or the stack
+    peek — so the next row's DMA STARTS before the current row's
+    intersection math and is WAITED only at the next pop: the ~1-2 us
+    HBM latency hides behind the tile-wide vector tests instead of
+    serializing with them (the role warp parallelism plays for the
+    reference's GPU fetches, /root/reference/src/traversal/
+    mapping_gpu.impala:18-70). Because the prediction is exact, each
+    table keeps at most ONE outstanding copy: one DMA semaphore + a
+    2-line VMEM buffer suffice. A mismatched pending copy (possible
+    only after an any-hit early exit) is drained before reuse, and
+    pf_drain retires anything still in flight at loop exit, so every
+    started copy is waited exactly once.
+
+    pref_ref (SMEM, 4 scalars): [0] pending tri code (negative leaf
+    ref; 0 = none), [1] tri buffer slot holding the current row,
+    [2] pending node line + 1 (0 = none), [3] node slot of the current
+    line.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    zero = jnp.int32(0)
+
+    def tri_cp(row, slot):
+        return pltpu.make_async_copy(tris_ref.at[pl.ds(row, 1)],
+                                     tri_buf.at[pl.ds(slot, 1)], tri_sem)
+
+    def node_cp(line, slot):
+        return pltpu.make_async_copy(nodes_ref.at[pl.ds(line, 1)],
+                                     node_buf.at[pl.ds(slot, 1)],
+                                     node_sem)
+
+    def pf_init():
+        for i in range(4):
+            pref_ref[i] = zero
+
+    def pf_predict(nxt):
+        """Issue prefetches for the exact next pop `nxt` (0 = none)."""
+        if tris_hbm:
+            want = jnp.where(nxt < 0, nxt, zero)
+            pend = pref_ref[0]
+            fresh = pend != want
+
+            @pl.when((pend != 0) & fresh)
+            def _():
+                tri_cp(zero, zero).wait()  # drain a stale prefetch
+
+            @pl.when((want != 0) & fresh)
+            def _():
+                tri_cp(~want, 1 - pref_ref[1]).start()
+            pref_ref[0] = want
+        if nodes_hbm:
+            want = jnp.where(nxt > 0, (nxt - 1) // node_rpl + 1, zero)
+            pend = pref_ref[2]
+            fresh = pend != want
+
+            @pl.when((pend != 0) & fresh)
+            def _():
+                node_cp(zero, zero).wait()
+
+            @pl.when((want != 0) & fresh)
+            def _():
+                node_cp(want - 1, 1 - pref_ref[3]).start()
+            pref_ref[2] = want
+
+    def pf_tri_row(code):
+        """Tri row for the current pop; returns its buffer slot."""
+        cur = pref_ref[1]
+        pend = pref_ref[0]
+        hit = pend == code
+        slot = jnp.where(hit, 1 - cur, cur)
+
+        @pl.when((pend != 0) & jnp.logical_not(hit))
+        def _():
+            tri_cp(zero, zero).wait()
+
+        @pl.when(jnp.logical_not(hit))
+        def _():
+            tri_cp(~code, cur).start()
+        tri_cp(zero, zero).wait()
+        pref_ref[0] = zero
+        pref_ref[1] = slot
+        return slot
+
+    def pf_node_row(code):
+        """Node line for the current pop; returns its buffer slot."""
+        line = (code - 1) // node_rpl
+        cur = pref_ref[3]
+        pend = pref_ref[2]
+        hit = pend == line + 1
+        slot = jnp.where(hit, 1 - cur, cur)
+
+        @pl.when((pend != 0) & jnp.logical_not(hit))
+        def _():
+            node_cp(zero, zero).wait()
+
+        @pl.when(jnp.logical_not(hit))
+        def _():
+            node_cp(line, cur).start()
+        node_cp(zero, zero).wait()
+        pref_ref[2] = zero
+        pref_ref[3] = slot
+        return slot
+
+    def pf_drain():
+        if tris_hbm:
+            @pl.when(pref_ref[0] != 0)
+            def _():
+                tri_cp(zero, zero).wait()
+        if nodes_hbm:
+            @pl.when(pref_ref[2] != 0)
+            def _():
+                node_cp(zero, zero).wait()
+
+    return pf_init, pf_predict, pf_tri_row, pf_node_row, pf_drain
+
+
+def _next_top(childs, peek):
+    """The entry the next pop will retire: pushes put the first nonzero
+    child on top; an empty push set exposes the pre-push stack peek."""
+    nxt = peek
+    for c in reversed(range(len(childs))):
+        nxt = jnp.where(childs[c] != 0, childs[c], nxt)
+    return nxt
 
 
 def _kernel(rays_ref, nodes_ref, tris_ref,
@@ -75,8 +209,14 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             *rest, arity, m, any_hit, stack_size,
             node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False,
             count_pops=False, ablate=(), frustum=False, tris_hbm=False,
-            nodes_hbm=False, leaf_chain=1):
+            nodes_hbm=False, leaf_chain=1, prefetch=False):
     rest = list(rest)
+    if prefetch:
+        # exact next-pop prefetch state (SMEM): [0] pending tri code
+        # (negative leaf ref; 0 = none), [1] tri buffer slot holding the
+        # current row, [2] pending node line + 1 (0 = none), [3] node
+        # buffer slot holding the current line. See _pf_helpers.
+        pref_ref = rest.pop()
     if nodes_hbm:
         # giga-scene mode (>12M tris: the node table itself exceeds
         # VMEM): nodes_ref lives in HBM; node pops DMA one packed line
@@ -94,6 +234,16 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         (stack_ref,) = rest
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if prefetch:
+        pf_init, pf_predict, pf_tri_row, pf_node_row, pf_drain = \
+            _pf_helpers(pref_ref, tris_ref,
+                        tri_buf if tris_hbm else None,
+                        tri_sem if tris_hbm else None,
+                        nodes_ref,
+                        node_buf if nodes_hbm else None,
+                        node_sem if nodes_hbm else None,
+                        node_rpl, tris_hbm, nodes_hbm)
 
     def load_row(ref, idx, rpl):
         """Returns (f32_reader, i32_reader) closures for lane j of row
@@ -129,6 +279,8 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     tmax = rays_ref[10]
 
     stack_ref[0] = jnp.int32(1)  # root (1-based node ref)
+    if prefetch:
+        pf_init()
     if count_pops:
         cnt_sm[0] = jnp.int32(0)
 
@@ -211,19 +363,23 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     def load_node_row(code):
         """Node-row readers; DMA from HBM in giga-scene mode."""
         if nodes_hbm:
-            cp = pltpu.make_async_copy(
-                nodes_ref.at[pl.ds((code - 1) // node_rpl, 1)],
-                node_buf, node_sem)
-            cp.start()
-            cp.wait()
-            row = node_buf[pl.ds(0, 1), :]
+            if prefetch:
+                slot = pf_node_row(code)
+            else:
+                cp = pltpu.make_async_copy(
+                    nodes_ref.at[pl.ds((code - 1) // node_rpl, 1)],
+                    node_buf.at[pl.ds(0, 1)], node_sem)
+                cp.start()
+                cp.wait()
+                slot = 0
+            row = node_buf[pl.ds(slot, 1), :]
             if node_rpl == 2:
                 row = pltpu.roll(row, -((code - 1) % 2) * 64, axis=1)
             row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
             return (lambda j: row[0, j]), (lambda j: row_i[0, j])
         return load_row(nodes_ref, code - 1, node_rpl)
 
-    def node_step(code, t_cur, pure):
+    def node_step(code, t_cur, pure, peek=None):
         # rows are packed two-per-128-lane line (VMEM pads the last dim
         # to 128 lanes, so 56-wide rows would waste 2.3x VMEM)
         rd, rdi = load_node_row(code)
@@ -289,6 +445,10 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                 childs[i], childs[j] = (
                     jnp.where(swap, childs[j], childs[i]),
                     jnp.where(swap, childs[i], childs[j]))
+        if prefetch:
+            # the next pop is now exactly known: start its row's DMA so
+            # the HBM latency overlaps the scalar push work + next pop
+            pf_predict(_next_top(childs, peek))
         # near-sorted child list; pushes happen in body() after all popped
         # entries are processed so the per-entry reductions overlap
         return childs
@@ -342,23 +502,35 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                                  axis=0, keepdims=True))
         return jnp.concatenate(parts, axis=0), row_i
 
-    def _leaf_one(code, carry, t_test=None):
+    def _leaf_one(code, carry, t_test=None, peek=None):
         t_cur, u_b, v_b, p_b, g_b = carry
         if t_test is None:
             t_test = t_cur
         if tris_hbm:
-            # DMA the Tri row HBM -> VMEM line (tri_rpl forced to 1);
-            # blocking wait — the ~1-2 us latency replaces the XLA
-            # path's per-ray row gathers, amortized over the whole tile
-            cp = pltpu.make_async_copy(tris_ref.at[pl.ds(~code, 1)],
-                                       tri_buf, tri_sem)
-            cp.start()
-            cp.wait()
-            row = tri_buf[pl.ds(0, 1), :]
+            if prefetch:
+                slot = pf_tri_row(code)
+            else:
+                # DMA the Tri row HBM -> VMEM line (tri_rpl forced to 1);
+                # blocking wait — the ~1-2 us latency replaces the XLA
+                # path's per-ray row gathers, amortized over the whole
+                # tile
+                cp = pltpu.make_async_copy(tris_ref.at[pl.ds(~code, 1)],
+                                           tri_buf.at[pl.ds(0, 1)],
+                                           tri_sem)
+                cp.start()
+                cp.wait()
+                slot = 0
+            row = tri_buf[pl.ds(slot, 1), :]
             row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
             rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
         else:
             rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+        if prefetch:
+            # continuation is metadata-only: the next pop is known BEFORE
+            # the lane tests, so its DMA flies during the MT math below
+            cont_e = jnp.where(rdi(12 * m + m - 1) < 0, jnp.int32(0),
+                               code - 1)
+            pf_predict(jnp.where(cont_e != 0, cont_e, peek))
         if "noleaftest" in ablate:  # ablation: skip the vector MT tests
             # (wrong hits: misses everything; same pop schedule only for
             # workloads whose t_cur pruning doesn't change the node walk)
@@ -401,16 +573,16 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         cont_code = jnp.where(is_last, jnp.int32(0), code - 1)
         return (t_cur, u_b, v_b, p_b, g_b), cont_code
 
-    def leaf_step(code, carry, t_test=None):
+    def leaf_step(code, carry, t_test=None, peek=None):
         """Consumes up to leaf_chain consecutive Tri packets of one leaf
         per pop: each chained packet saves the fixed per-pop overhead
         (~600 ns) that re-popping the continuation would cost; chains
         longer than leaf_chain still continue via the pushed code."""
-        carry, cont = _leaf_one(code, carry, t_test)
+        carry, cont = _leaf_one(code, carry, t_test, peek)
         for _ in range(leaf_chain - 1):
             carry, cont = jax.lax.cond(
                 cont < 0,
-                lambda args: _leaf_one(args[1], args[0], t_test),
+                lambda args: _leaf_one(args[1], args[0], t_test, peek),
                 lambda args: args,
                 (carry, cont))
         return carry, cont
@@ -455,6 +627,11 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 
         carry = (t_cur, u_b, v_b, p_b, g_b)
         no_push = [zero] * arity
+
+        # stack peek below the popped entry: the next pop when the
+        # current one pushes nothing (prefetch prediction input)
+        peek = (jnp.where(sptr > 0, stack_ref[jnp.maximum(sptr - 1, zero)],
+                          zero) if prefetch else None)
 
         if pops > 1:
             # PHASED expansion: per-pop cost is dominated by the ~600 ns
@@ -547,10 +724,10 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                 def pure_body(_):
                     if frustum:
                         return node_step_frustum(code, t_test)
-                    return node_step(code, t_test, True)
+                    return node_step(code, t_test, True, peek)
 
                 def mixed_body(_):
-                    return node_step(code, t_test, False)
+                    return node_step(code, t_test, False, peek)
 
                 childs = jax.lax.cond(tile_pure, pure_body, mixed_body,
                                       None)
@@ -558,7 +735,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 
             def do_other(_, carry=carry, code=code):
                 def do_leaf(_):
-                    c2, cont = leaf_step(code, carry, t_test)
+                    c2, cont = leaf_step(code, carry, t_test, peek)
                     return c2 + (cont,) + tuple(no_push[1:])
 
                 def do_skip(_):
@@ -603,6 +780,10 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     else:
         init = (jnp.int32(1),) + init_hits
     out = jax.lax.while_loop(cond, body, init)
+    if prefetch:
+        # an any-hit early exit can leave a predicted copy in flight:
+        # retire it so every started DMA is waited exactly once
+        pf_drain()
     t_b, u_b, v_b, p_b, g_b = out[-5:]
     t_ref[:] = t_b
     u_ref[:] = u_b
@@ -617,7 +798,7 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                   t_ref, u_ref, v_ref, prim_ref, geom_ref,
                   *rest, arity, m, any_hit, stack_size, tile_rows,
                   n_way, node_rpl=2, tri_rpl=2, tris_hbm=False,
-                  nodes_hbm=False, leaf_chain=1):
+                  nodes_hbm=False, leaf_chain=1, prefetch=False):
     """n_way independent ray tiles per grid step, one fused loop.
 
     The single-tile kernel's per-pop cost is ~600 ns of poorly-packed
@@ -633,6 +814,11 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
     Production config only (pops=1, vector row loads); semantics
     identical to _kernel over each sub-tile."""
     rest = list(rest)
+    if prefetch:
+        pref_refs = rest[-n_way:]
+        rest = rest[:-n_way]
+    else:
+        pref_refs = [None] * n_way
     if nodes_hbm:
         node_scratch = rest[-2 * n_way:]
         rest = rest[:-2 * n_way]
@@ -658,9 +844,10 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
 
     zero = jnp.int32(0)
 
-    def make_tile(lo, stack_ref, tri_buf, tri_sem, node_buf, node_sem):
-        """Builds (cond_one, body_one, init, writeback) for the tile in
-        rows [lo, lo + tile_rows)."""
+    def make_tile(lo, stack_ref, tri_buf, tri_sem, node_buf, node_sem,
+                  pref_ref):
+        """Builds (cond_one, body_one, init, writeback, drain) for the
+        tile in rows [lo, lo + tile_rows)."""
         sl = pl.ds(lo, tile_rows)
         inv_d = [rays_ref[i, sl] for i in range(3)]
         org = [rays_ref[3 + i, sl] for i in range(3)]
@@ -668,6 +855,14 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
         tmin = rays_ref[9, sl]
         tmax = rays_ref[10, sl]
         stack_ref[0] = jnp.int32(1)
+        if prefetch:
+            pf_init, pf_predict, pf_tri_row, pf_node_row, pf_drain = \
+                _pf_helpers(pref_ref, tris_ref, tri_buf, tri_sem,
+                            nodes_ref, node_buf, node_sem,
+                            node_rpl, tris_hbm, nodes_hbm)
+            pf_init()
+        else:
+            pf_drain = None
 
         pos = [jnp.min((inv_d[k] >= 0.0).astype(jnp.int32)) == 1
                for k in range(3)]
@@ -676,14 +871,18 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
         tile_pure = ((pos[0] | neg[0]) & (pos[1] | neg[1])
                      & (pos[2] | neg[2]))
 
-        def node_step(code, t_cur, pure):
+        def node_step(code, t_cur, pure, peek):
             if nodes_hbm:
-                cp = pltpu.make_async_copy(
-                    nodes_ref.at[pl.ds((code - 1) // node_rpl, 1)],
-                    node_buf, node_sem)
-                cp.start()
-                cp.wait()
-                row = node_buf[pl.ds(0, 1), :]
+                if prefetch:
+                    slot = pf_node_row(code)
+                else:
+                    cp = pltpu.make_async_copy(
+                        nodes_ref.at[pl.ds((code - 1) // node_rpl, 1)],
+                        node_buf.at[pl.ds(0, 1)], node_sem)
+                    cp.start()
+                    cp.wait()
+                    slot = 0
+                row = node_buf[pl.ds(slot, 1), :]
                 if node_rpl == 2:
                     row = pltpu.roll(row, -((code - 1) % 2) * 64, axis=1)
                 row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
@@ -741,20 +940,31 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                     childs[i], childs[j] = (
                         jnp.where(swap, childs[j], childs[i]),
                         jnp.where(swap, childs[i], childs[j]))
+            if prefetch:
+                pf_predict(_next_top(childs, peek))
             return childs
 
-        def _leaf_one(code, carry, t_test):
+        def _leaf_one(code, carry, t_test, peek):
             t_cur, u_b, v_b, p_b, g_b = carry
             if tris_hbm:
-                cp = pltpu.make_async_copy(tris_ref.at[pl.ds(~code, 1)],
-                                           tri_buf, tri_sem)
-                cp.start()
-                cp.wait()
-                row = tri_buf[pl.ds(0, 1), :]
+                if prefetch:
+                    slot = pf_tri_row(code)
+                else:
+                    cp = pltpu.make_async_copy(
+                        tris_ref.at[pl.ds(~code, 1)],
+                        tri_buf.at[pl.ds(0, 1)], tri_sem)
+                    cp.start()
+                    cp.wait()
+                    slot = 0
+                row = tri_buf[pl.ds(slot, 1), :]
                 row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
                 rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
             else:
                 rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+            if prefetch:
+                cont_e = jnp.where(rdi(12 * m + m - 1) < 0, jnp.int32(0),
+                                   code - 1)
+                pf_predict(jnp.where(cont_e != 0, cont_e, peek))
             is_last = jnp.int32(0)
             for lane in range(m):
                 v0 = [rd(k * m + lane) for k in range(3)]
@@ -793,12 +1003,12 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
             cont_code = jnp.where(is_last, jnp.int32(0), code - 1)
             return (t_cur, u_b, v_b, p_b, g_b), cont_code
 
-        def leaf_step(code, carry, t_test):
-            carry, cont = _leaf_one(code, carry, t_test)
+        def leaf_step(code, carry, t_test, peek):
+            carry, cont = _leaf_one(code, carry, t_test, peek)
             for _ in range(leaf_chain - 1):
                 carry, cont = jax.lax.cond(
                     cont < 0,
-                    lambda args: _leaf_one(args[1], args[0], t_test),
+                    lambda args: _leaf_one(args[1], args[0], t_test, peek),
                     lambda args: args,
                     (carry, cont))
             return carry, cont
@@ -821,13 +1031,16 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
             else:
                 t_test = t_cur
             carry = (t_cur, u_b, v_b, p_b, g_b)
+            peek = (jnp.where(sptr > 0,
+                              stack_ref[jnp.maximum(sptr - 1, zero)],
+                              zero) if prefetch else None)
 
             def do_node(_):
                 def pure_body(_):
-                    return node_step(code, t_test, True)
+                    return node_step(code, t_test, True, peek)
 
                 def mixed_body(_):
-                    return node_step(code, t_test, False)
+                    return node_step(code, t_test, False, peek)
 
                 childs = jax.lax.cond(tile_pure, pure_body, mixed_body,
                                       None)
@@ -835,7 +1048,7 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
 
             def do_other(_):
                 def do_leaf(_):
-                    c2, cont = leaf_step(code, carry, t_test)
+                    c2, cont = leaf_step(code, carry, t_test, peek)
                     return c2 + (cont,) + tuple(no_push[1:])
 
                 def do_skip(_):
@@ -881,31 +1094,37 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
             prim_ref[sl] = p_b
             geom_ref[sl] = g_b
 
-        return cond_one, body_one, init, writeback
+        return cond_one, body_one, init, writeback, pf_drain
 
     tiles = [make_tile(k * tile_rows, stacks[k], hbm_scratch[2 * k],
                        hbm_scratch[2 * k + 1], node_scratch[2 * k],
-                       node_scratch[2 * k + 1]) for k in range(n_way)]
+                       node_scratch[2 * k + 1], pref_refs[k])
+             for k in range(n_way)]
     na = len(tiles[0][2])
 
     def cond(c):
         out = None
-        for k, (cond_k, _b, _i, _w) in enumerate(tiles):
+        for k, (cond_k, _b, _i, _w, _d) in enumerate(tiles):
             ck = cond_k(c[k * na:(k + 1) * na])
             out = ck if out is None else (out | ck)
         return out
 
     def body(c):
         out = ()
-        for k, (_c, body_k, _i, _w) in enumerate(tiles):
+        for k, (_c, body_k, _i, _w, _d) in enumerate(tiles):
             out = out + body_k(c[k * na:(k + 1) * na])
         return out
 
     init = ()
-    for _c, _b, init_k, _w in tiles:
+    for _c, _b, init_k, _w, _d in tiles:
         init = init + init_k
     out = jax.lax.while_loop(cond, body, init)
-    for k, (_c, _b, _i, wb_k) in enumerate(tiles):
+    for _c, _b, _i, _w, drain_k in tiles:
+        # a tile whose rays (or any-hit early exit) finished before the
+        # fused loop ended can leave a predicted copy in flight
+        if drain_k is not None:
+            drain_k()
+    for k, (_c, _b, _i, wb_k, _d) in enumerate(tiles):
         wb_k(out[k * na:(k + 1) * na])
 
 
@@ -915,7 +1134,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                                scalar_reads=SCALAR_READS,
                                frustum=FRUSTUM, tris_hbm=False,
                                nodes_hbm=False,
-                               leaf_chain=LEAF_CHAIN, multi=MULTI):
+                               leaf_chain=LEAF_CHAIN, multi=MULTI,
+                               prefetch=PREFETCH):
     """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
     hit dict of (R, 128) arrays out (integrator-facing; dead rays =
     tmax < tmin)."""
@@ -938,7 +1158,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                         pops, scalar_reads, frustum=frustum,
                         tris_hbm=tris_hbm, nodes_hbm=nodes_hbm,
-                        leaf_chain=leaf_chain, multi=multi)
+                        leaf_chain=leaf_chain, multi=multi,
+                        prefetch=prefetch)
     t, u, v, p, g = [o[:R] for o in outs[:5]]
     t = jnp.where(p < 0, tmax, t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -948,7 +1169,8 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                     interpret=False, pops=POPS,
                     scalar_reads=SCALAR_READS, ablate=(),
                     frustum=FRUSTUM, tris_hbm=False, nodes_hbm=False,
-                    leaf_chain=LEAF_CHAIN, multi=MULTI):
+                    leaf_chain=LEAF_CHAIN, multi=MULTI,
+                    prefetch=PREFETCH):
     """Packet-kernel traversal; same contract as api.traverse.
     Requires the node table to fit in VMEM (~100 MB with the raised
     limit). tris_hbm=True keeps the (much larger) triangle table in HBM
@@ -978,7 +1200,7 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                         pops, scalar_reads, ablate=ablate,
                         frustum=frustum, tris_hbm=tris_hbm,
                         nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
-                        multi=multi)
+                        multi=multi, prefetch=prefetch)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -1001,7 +1223,8 @@ def _pack_rows(table, force_single=False):
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                  pops=POPS, scalar_reads=SCALAR_READS, count_pops=False,
                  ablate=(), frustum=FRUSTUM, tris_hbm=False,
-                 nodes_hbm=False, leaf_chain=LEAF_CHAIN, multi=MULTI):
+                 nodes_hbm=False, leaf_chain=LEAF_CHAIN, multi=MULTI,
+                 prefetch=PREFETCH):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1009,6 +1232,10 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         # giga-scene mode supports the production body only
         assert not (frustum or scalar_reads or pops > 1 or count_pops), \
             "nodes_hbm supports the production kernel body only"
+    # next-pop prefetch applies to the HBM modes' production body only
+    prefetch = bool(prefetch and (tris_hbm or nodes_hbm) and pops == 1
+                    and not count_pops and not ablate and not frustum
+                    and not scalar_reads)
     # no Mosaic off-TPU: fall back to the interpreter automatically so the
     # packet path stays testable on the CPU suite
     interpret = interpret or jax.default_backend() != "tpu"
@@ -1031,13 +1258,16 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     node_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if nodes_hbm
                  else pl.BlockSpec(nodes2.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM))
+    # prefetch double-buffers the DMA landing lines (2 rows per table)
+    buf_rows = 2 if prefetch else 1
     if multi > 1:
         assert nt % multi == 0 and not count_pops
         kern = functools.partial(
             _kernel_multi, arity=arity, m=m, any_hit=any_hit,
             stack_size=stack_size, tile_rows=tile_rows, n_way=multi,
             node_rpl=node_rpl, tri_rpl=tri_rpl, tris_hbm=tris_hbm,
-            nodes_hbm=nodes_hbm, leaf_chain=leaf_chain)
+            nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
+            prefetch=prefetch)
         blk = multi * tile_rows
         return pl.pallas_call(
             kern,
@@ -1059,12 +1289,14 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                                     memory_space=pltpu.VMEM)] * 5,
             scratch_shapes=([pltpu.SMEM((stack_size,), jnp.int32)]
                             * multi
-                            + ([pltpu.VMEM((1, 128), jnp.float32),
+                            + ([pltpu.VMEM((buf_rows, 128), jnp.float32),
                                 pltpu.SemaphoreType.DMA(())] * multi
                                if tris_hbm else [])
-                            + ([pltpu.VMEM((1, 128), jnp.float32),
+                            + ([pltpu.VMEM((buf_rows, 128), jnp.float32),
                                 pltpu.SemaphoreType.DMA(())] * multi
-                               if nodes_hbm else [])),
+                               if nodes_hbm else [])
+                            + ([pltpu.SMEM((4,), jnp.int32)] * multi
+                               if prefetch else [])),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
@@ -1075,7 +1307,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                              scalar_reads=scalar_reads,
                              count_pops=count_pops, ablate=tuple(ablate),
                              frustum=frustum, tris_hbm=tris_hbm,
-                             nodes_hbm=nodes_hbm, leaf_chain=leaf_chain)
+                             nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
+                             prefetch=prefetch)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
@@ -1110,11 +1343,13 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         scratch_shapes=([pltpu.SMEM((stack_size,), jnp.int32)]
                         + ([pltpu.SMEM((1,), jnp.int32)] if count_pops
                            else [])
-                        + ([pltpu.VMEM((1, 128), jnp.float32),
+                        + ([pltpu.VMEM((buf_rows, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA(())] if tris_hbm
                            else [])
-                        + ([pltpu.VMEM((1, 128), jnp.float32),
+                        + ([pltpu.VMEM((buf_rows, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA(())] if nodes_hbm
+                           else [])
+                        + ([pltpu.SMEM((4,), jnp.int32)] if prefetch
                            else [])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),

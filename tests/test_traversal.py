@@ -329,6 +329,35 @@ def test_packet_kernel_nodes_hbm_matches_api():
     np.testing.assert_array_equal(wa, ga)
 
 
+def test_packet_kernel_prefetch_off_matches_on():
+    """The HBM modes' exact next-pop DMA prefetch (double-buffered lines,
+    prediction = leaf continuation / first pushed child / stack peek) is
+    a pure transport change: hits must be identical with it disabled, in
+    both kernel bodies, including the any-hit early exit that leaves a
+    predicted copy in flight (drained at loop exit)."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8, packet=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=49)
+    for kw in ({"multi": 1, "tris_hbm": True},
+               {"multi": 2, "tris_hbm": True, "nodes_hbm": True}):
+        a = traverse_packet(dev, rays, tile_rows=2, prefetch=False, **kw)
+        b = traverse_packet(dev, rays, tile_rows=2, prefetch=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a["t"]),
+                                      np.asarray(b["t"]))
+        np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                      np.asarray(b["prim_id"]))
+    rays2 = random_rays(256, seed=51, tmax=2.0)
+    wa = np.asarray(traverse_packet(dev, rays2, any_hit=True, tile_rows=2,
+                                    tris_hbm=True, nodes_hbm=True,
+                                    prefetch=False)["prim_id"]) >= 0
+    ga = np.asarray(traverse_packet(dev, rays2, any_hit=True, tile_rows=2,
+                                    tris_hbm=True, nodes_hbm=True,
+                                    prefetch=True)["prim_id"]) >= 0
+    np.testing.assert_array_equal(wa, ga)
+
+
 def chain_bvh(depth, arity=4):
     """Hand-built adversarial BVH: a depth-long chain where every node has
     one inner child and one single-tri leaf, and ALL boxes overlap — a ray
