@@ -14,6 +14,10 @@ OUT=benchmarks/results_tpu_r3.txt
       --scenes hall,crown,powerplant --dists primary,ao,bounces \
       --variants packet,hbm,tiled,tiled-c --iters 5
   echo
+  echo "# packet kernel rows x multi sweep (hall; VERDICT item 2)"
+  timeout 1200 python -u experiments/measure_packet.py \
+      --rows 8,16,32 --multi 1,2,3,4 --dists primary,ao
+  echo
   echo "# big-scene DMA prefetch A/B (exact next-pop prefetch vs blocking)"
   timeout 1800 python -u -m rodent_tpu.tools.benchmark \
       --scenes powerplant --dists primary,bounces \

@@ -19,6 +19,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=260_000)
     ap.add_argument("--rows", default="16,32,64,96")
+    ap.add_argument("--multi", default="2",
+                    help="interleaved tiles per grid step (sweep list)")
     ap.add_argument("--rays", type=int, default=1024 * 1024)
     ap.add_argument("--frustum", action="store_true")
     ap.add_argument("--dists", default="primary,ao,bounces")
@@ -75,13 +77,16 @@ def main():
         dists[kind] = (rays2, any_hit)
 
     rows_list = [int(r) for r in args.rows.split(",")]
-    print(f"{'dist':>8} {'rows':>5} {'Mrays/s':>8} {'pops/tile':>10} "
-          f"{'max':>6} {'ns/pop':>8} {'pops/ray-equiv':>14}")
+    multi_list = [int(mm) for mm in args.multi.split(",")]
+    print(f"{'dist':>8} {'rows':>5} {'multi':>5} {'Mrays/s':>8} "
+          f"{'pops/tile':>10} {'max':>6} {'ns/pop':>8} "
+          f"{'pops/ray-equiv':>14}")
     for name, (rays, any_hit) in dists.items():
         for rows in rows_list:
-            fn = jax.jit(lambda r, ah=any_hit, tr=rows:
+          for mw in multi_list:
+            fn = jax.jit(lambda r, ah=any_hit, tr=rows, mm=mw:
                          pp.traverse_packet(dev, r, any_hit=ah,
-                                            tile_rows=tr,
+                                            tile_rows=tr, multi=mm,
                                             frustum=args.frustum))
             out = fn(rays)
             jax.block_until_ready(out["t"])
@@ -93,7 +98,8 @@ def main():
             dt = (time.perf_counter() - t0) / iters
             mrays = n / dt / 1e6
 
-            # counted pass (separate compile; timing not reused)
+            # counted pass (separate compile, single-tile body — the
+            # counter is per-tile SMEM; timing not reused)
             tile = rows * 128
             nt = -(-n // tile)
             comp = [rays["inv_dir"][:, i] for i in range(3)]
@@ -108,13 +114,13 @@ def main():
                     for ci, c in enumerate(comp)]
             packed = jnp.stack(comp).reshape(11, nt * rows, 128)
             outs = pp._call_kernel(dev, packed, nt, rows, any_hit,
-                                   False, count_pops=True,
+                                   False, count_pops=True, multi=1,
                                    frustum=args.frustum)
             cnt = np.asarray(outs[5])[::8, 0]
             total_pops = int(cnt.sum())
             ns_pop = dt / total_pops * 1e9
-            print(f"{name:>8} {rows:>5} {mrays:>8.1f} {cnt.mean():>10.0f} "
-                  f"{cnt.max():>6d} {ns_pop:>8.0f} "
+            print(f"{name:>8} {rows:>5} {mw:>5} {mrays:>8.1f} "
+                  f"{cnt.mean():>10.0f} {cnt.max():>6d} {ns_pop:>8.0f} "
                   f"{total_pops * tile / n:>14.0f}")
 
 
