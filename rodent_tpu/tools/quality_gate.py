@@ -33,8 +33,13 @@ def main(argv=None):
     p.add_argument("--ref", default=f"{REF_DIR}/ref-cornell.png")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--spp", type=int, default=4)
-    p.add_argument("--threshold", type=float, default=100.0,
-                   help="max allowed MSE on u8 values")
+    # default derived from the measured convergence model
+    # MSE(N) = 337/N + 7.0: expected 13.7 at the 50-iter ctest config;
+    # 20 leaves ~45% headroom for seed-to-seed variance while still
+    # catching any estimator bias (a bias plateau sits well above it)
+    p.add_argument("--threshold", type=float, default=20.0,
+                   help="max allowed MSE on u8 values (expected "
+                        "337/iters + 7.0)")
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--fast", action="store_true",
