@@ -427,7 +427,15 @@ def test_deep_tree_no_silent_stack_overflow():
     # every ray must find the NEAREST (first) triangle at t == 2.0
     np.testing.assert_allclose(np.asarray(want["t"]), 2.0, atol=1e-6)
     for fn in (traverse, traverse_tiled,
-               lambda dv, rs: traverse_packet(dv, rs, tile_rows=1)):
+               lambda dv, rs: traverse_packet(dv, rs, tile_rows=1),
+               # HBM modes on the chain: every node pushes (inner, leaf)
+               # so node/leaf pops interleave — adversarial for the
+               # next-pop prefetch's peek prediction
+               lambda dv, rs: traverse_packet(dv, rs, tile_rows=1,
+                                              tris_hbm=True),
+               lambda dv, rs: traverse_packet(dv, rs, tile_rows=1,
+                                              tris_hbm=True,
+                                              nodes_hbm=True)):
         got = fn(dev, rays)
         np.testing.assert_allclose(np.asarray(got["t"]),
                                    np.asarray(want["t"]), atol=1e-6)
