@@ -117,11 +117,22 @@ def main():
                           jnp.full(bn, 3.402823466e38, jnp.float32))
         brays, _ = sort_rays(brays, bverts.min(0), bverts.max(0))
         # multi=1: the hbm mode's DMA-overlap win from multi-tile is not
-        # yet measured on device; rows=32 x single is the recorded config
-        bfn = rjit(lambda d, r: traverse_packet(d, r, tile_rows=32,
-                                                   tris_hbm=True, multi=1))
-        bhit = bfn(bdev, brays)
-        _ = np.asarray(bhit["t"][:128])
+        # yet measured on device; rows=32 x single is the recorded config.
+        # The exact next-pop DMA prefetch (round 3) is on by default;
+        # fall back to the blocking transport if Mosaic rejects it on
+        # this jaxlib (first on-device run happens in the driver).
+        for pf in (True, False):
+            bfn = rjit(lambda d, r, pf=pf: traverse_packet(
+                d, r, tile_rows=32, tris_hbm=True, multi=1, prefetch=pf))
+            try:
+                bhit = bfn(bdev, brays)
+                _ = np.asarray(bhit["t"][:128])
+                break
+            except Exception as e:  # pragma: no cover - device-specific
+                if not pf:
+                    raise
+                print(f"# prefetch lowering failed ({type(e).__name__}); "
+                      f"falling back", file=sys.stderr)
         t0 = time.perf_counter()
         for _ in range(3):
             bhit = bfn(bdev, brays)
