@@ -170,8 +170,14 @@ def main(argv=None):
                 # remote-backend programs)
                 fn_t = rjit(lambda d, r, e=engines[variant], a=ah:
                                e(d, r, a))
-                out = fn_t(dev, srt)
-                _ = np.asarray(out["t"][:128])
+                try:
+                    out = fn_t(dev, srt)
+                    _ = np.asarray(out["t"][:128])
+                except Exception as e:  # keep the unattended sweep alive
+                    print(f"{scene} : {dist} : {variant} : FAILED "
+                          f"({type(e).__name__}: {str(e)[:120]})",
+                          flush=True)
+                    continue
                 # avg/median/min like the reference harness
                 # (bench_traversal.cpp:336-391); the ±8% band on the
                 # tunneled chip (ROADMAP) makes single numbers
