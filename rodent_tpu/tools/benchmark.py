@@ -217,6 +217,16 @@ _RENDER_CAMS = {
 def _renderer_sweep(args, sizes):
     """Full path-tracer throughput on the benchmark scenes (the
     reference's bench.sh renderer rows)."""
+    W, H, spp = args.width, args.height, args.spp
+    for scene_name in args.scenes.split(","):
+        try:
+            _render_one(args, sizes, scene_name, W, H, spp)
+        except Exception as e:  # keep the unattended sweep alive
+            print(f"{scene_name} : render : FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+
+
+def _render_one(args, sizes, scene_name, W, H, spp):
     import time
 
     import jax
@@ -228,41 +238,39 @@ def _renderer_sweep(args, sizes):
     from ..render.integrator import render_iteration_persistent
     from ..utils import testscenes
 
-    W, H, spp = args.width, args.height, args.spp
-    for scene_name in args.scenes.split(","):
-        make_name, _rays, dflt = _SCENES[scene_name]
-        tris = sizes.get(scene_name, dflt)
-        verts, idx = getattr(testscenes, make_name)(tris)
-        eye, dirv, fov, emitter = _RENDER_CAMS[scene_name]
-        scene = compile_mesh(verts, idx, max_path_len=args.mpl,
-                             emitter=emitter)
-        mode = packet_mode(scene.device)
-        packet = (mode if (mode and jax.default_backend() == "tpu")
-                  else False)
-        # per-step pool re-sort: +32% on hall with the packet kernel
-        # (experiments/measure_pool_sort.py), films bit-identical
-        sort = bool(packet)
-        cam = Camera.make(eye, dirv, (0, 1, 0), fov, W, H)
-        film = film_mod.new_film(W, H)
-        film = render_iteration_persistent(scene.device, cam, film, W, H,
-                                           spp, 0, packet=packet,
-                                           sort=sort)
+    make_name, _rays, dflt = _SCENES[scene_name]
+    tris = sizes.get(scene_name, dflt)
+    verts, idx = getattr(testscenes, make_name)(tris)
+    eye, dirv, fov, emitter = _RENDER_CAMS[scene_name]
+    scene = compile_mesh(verts, idx, max_path_len=args.mpl,
+                         emitter=emitter)
+    mode = packet_mode(scene.device)
+    packet = (mode if (mode and jax.default_backend() == "tpu")
+              else False)
+    # per-step pool re-sort: +32% on hall with the packet kernel
+    # (experiments/measure_pool_sort.py), films bit-identical
+    sort = bool(packet)
+    cam = Camera.make(eye, dirv, (0, 1, 0), fov, W, H)
+    film = film_mod.new_film(W, H)
+    film = render_iteration_persistent(scene.device, cam, film, W, H,
+                                       spp, 0, packet=packet,
+                                       sort=sort)
+    jax.block_until_ready(film)
+    times = []
+    for it in range(1, args.iters + 1):
+        t0 = time.perf_counter()
+        film = render_iteration_persistent(scene.device, cam, film,
+                                           W, H, spp, it,
+                                           packet=packet, sort=sort)
         jax.block_until_ready(film)
-        times = []
-        for it in range(1, args.iters + 1):
-            t0 = time.perf_counter()
-            film = render_iteration_persistent(scene.device, cam, film,
-                                               W, H, spp, it,
-                                               packet=packet, sort=sort)
-            jax.block_until_ready(film)
-            times.append(time.perf_counter() - t0)
-        ms = np.sort(W * H * spp / np.asarray(times) / 1e6)
-        mean_lum = float(np.asarray(film).mean()) / (args.iters + 1)
-        print(f"{scene_name} : render({W}x{H} spp{spp} mpl{args.mpl}, "
-              f"traversal={packet or 'tiled'}) : "
-              f"{ms[len(ms) // 2]:.2f} Msamples/s "
-              f"(min {ms[0]:.2f}, max {ms[-1]:.2f}, n={args.iters}; "
-              f"mean film {mean_lum:.4f})", flush=True)
+        times.append(time.perf_counter() - t0)
+    ms = np.sort(W * H * spp / np.asarray(times) / 1e6)
+    mean_lum = float(np.asarray(film).mean()) / (args.iters + 1)
+    print(f"{scene_name} : render({W}x{H} spp{spp} mpl{args.mpl}, "
+          f"traversal={packet or 'tiled'}) : "
+          f"{ms[len(ms) // 2]:.2f} Msamples/s "
+          f"(min {ms[0]:.2f}, max {ms[-1]:.2f}, n={args.iters}; "
+          f"mean film {mean_lum:.4f})", flush=True)
 
 
 if __name__ == "__main__":
