@@ -1,9 +1,7 @@
 #!/bin/bash
-# Round-3 measurement sweep (run on the real chip; ~30-45 min).
-# Produces benchmarks/results_tpu_r3.txt: traversal table (incl. the
-# staged-compaction tiled-c variant), renderer rows at the reference
-# bench config, and the focused experiments (pool sort, multi sweep,
-# bigscene DMA overlap).
+# Round-3 measurement sweep (run on the real chip; ~45-75 min).
+# Sections ordered by value so a mid-run cutoff still leaves the
+# most important tables in benchmarks/results_tpu_r3.txt.
 set -u
 cd "$(dirname "$0")/.."
 OUT=benchmarks/results_tpu_r3.txt
@@ -14,16 +12,16 @@ OUT=benchmarks/results_tpu_r3.txt
       --scenes hall,crown,powerplant --dists primary,ao,bounces \
       --variants packet,hbm,tiled,tiled-c --iters 5
   echo
-  echo "# packet kernel rows x multi sweep (hall; VERDICT item 2)"
-  timeout 1200 python -u experiments/measure_packet.py \
-      --rows 8,16,32 --multi 1,2,3,4 --dists primary,ao
+  echo "# renderer: reference bench config 1920x1088 spp4 mpl20 (Msamples/s)"
+  timeout 2400 python -u -m rodent_tpu.tools.benchmark --mode renderer \
+      --scenes hall,crown --iters 3
   echo
   echo "# big-scene DMA prefetch A/B (exact next-pop prefetch vs blocking)"
   timeout 1800 python -u -m rodent_tpu.tools.benchmark \
       --scenes powerplant --dists primary,bounces \
       --variants hbm,hbm-nopf,giga,giga-nopf --iters 5
   echo
-  echo "# renderer: reference bench config 1920x1088 spp4 mpl20 (Msamples/s)"
-  timeout 2400 python -u -m rodent_tpu.tools.benchmark --mode renderer \
-      --scenes hall,crown --iters 3
+  echo "# packet kernel rows x multi sweep (hall; VERDICT item 2)"
+  timeout 1200 python -u experiments/measure_packet.py \
+      --rows 8,16,32 --multi 1,2,3,4 --dists primary,ao
 } 2>&1 | grep -v WARNING | tee "$OUT"
