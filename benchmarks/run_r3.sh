@@ -15,6 +15,8 @@ OUT=benchmarks/results_tpu_r3.txt
   echo "# renderer: reference bench config 1920x1088 spp4 mpl20 (Msamples/s)"
   timeout 2400 python -u -m rodent_tpu.tools.benchmark --mode renderer \
       --scenes hall,crown --iters 3
+  timeout 1800 python -u -m rodent_tpu.tools.benchmark --mode renderer \
+      --scenes powerplant --iters 2
   echo
   echo "# big-scene DMA prefetch A/B (exact next-pop prefetch vs blocking)"
   timeout 1800 python -u -m rodent_tpu.tools.benchmark \
