@@ -3,6 +3,16 @@
 Monkeypatch-ablates one subsystem at a time out of the wavefront step and
 times a full cornell iteration for each variant; the deltas attribute the
 ~98% of the step cost that is not traversal (ROADMAP round-2 session-3).
+
+Caveat: ablations that fake hits or directions change path lengths, so
+their deltas are indicative, not exact; the splat/gather/light/emit
+ablations preserve trip counts (control flow depends on RNG + hit
+geometry, which those leave untouched or replace with fixed-but-live
+values).
+
+--tiny: 160x120 spp1, 1 timing iter — a CPU smoke run that exercises every
+monkeypatch path (the real run happens unattended on the chip; a TypeError
+in a patched signature must not be discovered there).
 """
 import sys
 import time
@@ -14,6 +24,10 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
+TINY = "--tiny" in sys.argv
+if TINY:
+    jax.config.update("jax_platforms", "cpu")
+
 from rodent_tpu.render import film as film_mod
 from rodent_tpu.render import integrator
 from rodent_tpu.render.camera import Camera
@@ -21,7 +35,7 @@ from rodent_tpu.render.compiler import compile_obj, packet_ok
 from rodent_tpu.io import png
 
 
-def timed(fn, film0, iters=5):
+def timed(fn, film0, iters):
     # render_iteration_persistent donates its film argument — each timing
     # pass needs a fresh buffer or the second variant hits a deleted array
     f = fn(jnp.array(film0))
@@ -35,8 +49,9 @@ def timed(fn, film0, iters=5):
 
 def main():
     ref = png.read_png("/root/reference/testing/ref-cornell.png")[..., :3]
-    H0, W0 = ref.shape[:2]
-    spp = 4
+    H0, W0 = (120, 160) if TINY else ref.shape[:2]
+    spp = 1 if TINY else 4
+    iters = 1 if TINY else 5
     scene = compile_obj("/root/reference/testing/cornell_box.obj",
                         max_path_len=64)
     packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
@@ -52,23 +67,37 @@ def main():
 
     film0 = film_mod.new_film(W0, H0)
 
-    dt = timed(run(1), film0)
-    base = dt
-    print(f"baseline: {dt*1e3:7.1f} ms/iter "
-          f"({total/dt/1e6:5.2f} Msamples/s)")
+    def clear():
+        integrator.render_iteration_persistent.clear_cache()
 
-    # ---- ablation: film splat -> no-op ----
+    base = timed(run(1), film0, iters)
+    print(f"baseline: {base*1e3:7.1f} ms/iter "
+          f"({total/base/1e6:5.2f} Msamples/s)")
+
+    def report(name, dt):
+        print(f"{name}: {dt*1e3:7.1f} ms/iter "
+              f"(delta {1e3*(base-dt):6.1f} ms, "
+              f"{100.0*(base-dt)/base:5.1f}% of step)")
+
+    # ---- ablation: film splat -> no-op (the persistent loop uses the
+    # planar form; patch both so either path is covered) ----
     real_splat = integrator._splat
+    real_splat_planar = integrator._splat_planar
 
     def no_splat(film, pixel, color, mask):
         # keep the data dependence on color so nothing else is DCE'd
         return film + jnp.sum(color[0]) * 0.0
 
+    def no_splat_planar(planes, pixel, color, mask):
+        s = jnp.sum(color[0]) * 0.0
+        return tuple(p + s for p in planes)
+
     integrator._splat = no_splat
-    integrator.render_iteration_persistent.clear_cache()
-    dt = timed(run(1), film0)
-    print(f"no-splat: {dt*1e3:7.1f} ms/iter  (delta {1e3*(base-dt):6.1f})")
+    integrator._splat_planar = no_splat_planar
+    clear()
+    report("no-splat", timed(run(1), film0, iters))
     integrator._splat = real_splat
+    integrator._splat_planar = real_splat_planar
 
     # ---- ablation: surface/vertex gathers -> row-0 broadcast ----
     from rodent_tpu.core import tiles as tiles_mod
@@ -82,32 +111,106 @@ def main():
 
     tiles_mod.gather_cols = fake_gather
     integrator.gather_cols = fake_gather
-    integrator.render_iteration_persistent.clear_cache()
-    dt = timed(run(1), film0)
-    print(f"no-gathers: {dt*1e3:7.1f} ms/iter (delta {1e3*(base-dt):6.1f})")
+    clear()
+    report("no-gathers", timed(run(1), film0, iters))
     tiles_mod.gather_cols = real_gather
     integrator.gather_cols = real_gather
 
-    # ---- ablation: shadow traversal off (NEE contribution zeroed) ----
+    # ---- ablation: camera emission (RNG seeding + jitter + ray setup),
+    # paid at pool init AND at every regeneration ----
+    real_emit = integrator._emit_camera
+
+    def fake_emit(camera, width, height, sample, iteration, pix):
+        like = pix.astype(jnp.float32)
+        from rodent_tpu.core import vmath as vm
+        org = vm.splat(camera.eye, like=like)
+        d = vm.normalize(vm.splat(camera.dir, like=like))
+        rnd = pix.astype(jnp.uint32) | jnp.uint32(1)
+        return org, d, rnd
+
+    integrator._emit_camera = fake_emit
+    clear()
+    report("no-camera-emit*", timed(run(1), film0, iters))
+    integrator._emit_camera = real_emit
+
+    # ---- ablation: light sampling (pick + sample_direct + emission) ----
+    from rodent_tpu.render import light as light_mod
+    real_sample_direct = light_mod.sample_direct
+    real_emission = light_mod.emission
+
+    def fake_sample_direct(lights, lidx, rnd, point):
+        from rodent_tpu.core.rng import randf
+        _, rnd = randf(rnd)   # same two draws as the real sampler, so the
+        _, rnd = randf(rnd)   # RNG stream (and RR path lengths) match
+        like = lidx.astype(jnp.float32)
+        one3 = (like * 0 + 1.0,) * 3
+        out = {"pos": one3, "intensity": one3, "cos": like * 0 + 1.0,
+               "pdf_area": like * 0 + 1.0,
+               "has_area": lidx >= 0, "valid": lidx >= 0}
+        if "ke_tex" in lights:
+            out["ke_tex"] = jnp.full_like(lidx, -1)
+            out["uv"] = (like * 0, like * 0)
+        return out, rnd
+
+    def fake_emission(lights, light_id, out_dir):
+        like = light_id.astype(jnp.float32)
+        out = {"intensity": (like * 0,) * 3, "pdf_area": like * 0 + 1.0,
+               "valid": light_id >= 0}
+        if "ke_tex" in lights:
+            out["ke_tex"] = jnp.full_like(light_id, -1)
+        return out
+
+    light_mod.sample_direct = fake_sample_direct
+    light_mod.emission = fake_emission
+    integrator.light_mod = light_mod
+    clear()
+    report("no-light-sampling*", timed(run(1), film0, iters))
+    light_mod.sample_direct = real_sample_direct
+    light_mod.emission = real_emission
+
+    # ---- ablation: BSDF eval_pdf + sample -> fixed diffuse-ish values
+    # (keeps RR/depth decisions on the same RNG draws) ----
+    from rodent_tpu.render import bsdf as bsdf_mod
+    real_eval = bsdf_mod.eval_pdf
+    real_sample = bsdf_mod.sample
+
+    def fake_eval(mat, surf, in_dir, out_dir, kinds=None):
+        one = surf["uv"][0] * 0 + 0.31830987
+        return (one, one, one), one
+
+    def fake_sample(mat, surf, rnd, out_dir, kinds=None):
+        from rodent_tpu.core.rng import randf
+        _, rnd = randf(rnd)
+        _, rnd = randf(rnd)
+        one = surf["uv"][0] * 0 + 1.0
+        return surf["n"], one, one, (one, one, one), rnd
+
+    bsdf_mod.eval_pdf = fake_eval
+    bsdf_mod.sample = fake_sample
+    integrator.bsdf_mod = bsdf_mod
+    clear()
+    report("no-bsdf*", timed(run(1), film0, iters))
+    bsdf_mod.eval_pdf = real_eval
+    bsdf_mod.sample = real_sample
+
+    # ---- ablation: shadow traversal off (NEE visibility = unoccluded) ----
     real_traverse = integrator._traverse
 
-    def no_shadow_traverse(scene_, rays, any_hit=False, packet=False):
+    def no_shadow_traverse(scene_, rays, any_hit=False, **kw):
         if any_hit:
             shp = rays["tmin"].shape
             return {"t": rays["tmax"], "u": jnp.zeros(shp),
                     "v": jnp.zeros(shp),
                     "prim_id": jnp.full(shp, -1, jnp.int32),
                     "geom_id": jnp.full(shp, -1, jnp.int32)}
-        return real_traverse(scene_, rays, any_hit, packet)
+        return real_traverse(scene_, rays, any_hit=any_hit, **kw)
 
     integrator._traverse = no_shadow_traverse
-    integrator.render_iteration_persistent.clear_cache()
-    dt = timed(run(1), film0)
-    print(f"no-shadow-trace: {dt*1e3:7.1f} ms/iter "
-          f"(delta {1e3*(base-dt):6.1f})")
+    clear()
+    report("no-shadow-trace", timed(run(1), film0, iters))
 
     # ---- ablation: ALL traversal off ----
-    def no_traverse(scene_, rays, any_hit=False, packet=False):
+    def no_traverse(scene_, rays, any_hit=False, **kw):
         shp = rays["tmin"].shape
         # pretend everything hits prim 0 at t=1 (keeps paths alive-ish)
         return {"t": jnp.ones(shp), "u": jnp.zeros(shp),
@@ -116,23 +219,20 @@ def main():
                 "geom_id": jnp.zeros(shp, jnp.int32)}
 
     integrator._traverse = no_traverse
-    integrator.render_iteration_persistent.clear_cache()
-    dt = timed(run(1), film0)
-    print(f"no-traverse-at-all*: {dt*1e3:7.1f} ms/iter "
-          f"(*different path lengths, indicative only)")
+    clear()
+    report("no-traverse-at-all*", timed(run(1), film0, iters))
     integrator._traverse = real_traverse
-
-    # ---- ablation: regeneration (cumsum+emit) -> plain die-off ----
-    real_persistent = None  # structural; approximate via pool sweep below
+    print("(* = ablation perturbs path lengths/content; indicative only)")
 
     # ---- pool sweep at the current optimum's neighborhood ----
-    integrator.render_iteration_persistent.clear_cache()
-    for pool in (1 << 13, 1 << 15, 1 << 17):
+    clear()
+    pools = (1 << 12,) if TINY else (1 << 13, 1 << 15, 1 << 17)
+    for pool in pools:
         def fnp(film, pool=pool):
             return integrator.render_iteration_persistent(
                 scene.device, cam, film, W0, H0, spp, 1, pool=pool,
                 packet=packet)
-        dt = timed(fnp, film0, iters=3)
+        dt = timed(fnp, film0, iters=min(iters, 3))
         print(f"pool {pool>>10}K: {dt*1e3:7.1f} ms/iter "
               f"({total/dt/1e6:5.2f} Msamples/s)")
 
