@@ -31,7 +31,7 @@ if TINY:
 from rodent_tpu.render import film as film_mod
 from rodent_tpu.render import integrator
 from rodent_tpu.render.camera import Camera
-from rodent_tpu.render.compiler import compile_obj, packet_ok
+from rodent_tpu.render.compiler import compile_obj, packet_mode, packet_ok
 from rodent_tpu.io import png
 
 
@@ -54,7 +54,11 @@ def main():
     iters = 1 if TINY else 5
     scene = compile_obj("/root/reference/testing/cornell_box.obj",
                         max_path_len=64)
-    packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
+    mode = packet_mode(scene.device)
+    if mode == "dense":   # match bench.py's production policy
+        packet = "dense"
+    else:
+        packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
     total = W0 * H0 * spp
     print(f"cornell {W0}x{H0} spp{spp} total {total} packet={packet}")

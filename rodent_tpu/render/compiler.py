@@ -473,13 +473,18 @@ def packet_ok(device, limit_bytes=80 * 1024 * 1024):
 
 def packet_mode(device, limit_bytes=80 * 1024 * 1024):
     """Auto-selects the renderer's traversal policy from the scene's
-    VMEM footprint: "hybrid" (whole BVH VMEM-resident), "hybrid-hbm"
-    (node table fits, Tri table DMA'd from HBM — San-Miguel-class), or
-    "hybrid-giga" (>12M-tri scenes: node table exceeds VMEM too, both
-    tables DMA'd per pop). The XLA dual-queue path remains available
-    explicitly (packet=False / --traversal tiled)."""
+    size: "dense" (a few Tri packets: brute-force them, no BVH walk —
+    pure XLA, valid on every backend), "hybrid" (whole BVH
+    VMEM-resident), "hybrid-hbm" (node table fits, Tri table DMA'd from
+    HBM — San-Miguel-class), or "hybrid-giga" (>12M-tri scenes: node
+    table exceeds VMEM too, both tables DMA'd per pop). The XLA
+    dual-queue path remains available explicitly (packet=False /
+    --traversal tiled)."""
+    from ..traversal.dense import DENSE_MAX_PACKETS
     nodes_b = device["bvh"]["nodes"].size * 4
     tris_b = device["bvh"]["tris"].size * 4
+    if device["bvh"]["tris"].shape[0] <= DENSE_MAX_PACKETS:
+        return "dense"
     if nodes_b + tris_b <= limit_bytes:
         return "hybrid"
     if nodes_b <= limit_bytes:

@@ -90,7 +90,16 @@ def _traverse(scene, rays, any_hit=False, packet=False, sort=False,
     the reference re-sorts its stream every bounce
     (mapping_cpu.impala:35-91, mapping_gpu.impala:166-221). Essential
     for the packet kernel on mixed-depth persistent pools, whose slot
-    order is pixel-scrambled by regeneration."""
+    order is pixel-scrambled by regeneration.
+
+    packet="dense" brute-forces every Tri packet as straight-line
+    full-tile VPU ops (traversal.dense) — the cornell-class small-scene
+    fast path; order-insensitive, so sort is skipped."""
+    if packet == "dense":
+        from ..traversal.dense import traverse_dense_components
+        return traverse_dense_components(
+            scene["bvh"], rays["org"], rays["dir"], rays["inv_dir"],
+            rays["inv_org"], rays["tmin"], rays["tmax"], any_hit=any_hit)
     if packet:
         fn = partial(traverse_packet_components,
                      tris_hbm=(packet in ("hbm", "giga")),
@@ -446,7 +455,8 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     def cond(c):
         return jnp.any(c["state"]["alive"])
 
-    loop_packet = packet if packet in (True, "hbm", "giga") else False
+    loop_packet = packet if packet in (True, "hbm", "giga",
+                                       "dense") else False
     if packet in ("hybrid", "hybrid-hbm", "hybrid-giga"):
         # peel the coherent depth-0 iteration onto the packet kernel
         # (big-scene flavor when the Tri table exceeds VMEM)

@@ -60,7 +60,7 @@ def main(argv=None):
     from ..io import png
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj, packet_ok
+    from ..render.compiler import compile_obj, packet_mode, packet_ok
     from ..render.integrator import render_iteration_persistent
 
     ref = png.read_png(args.ref)[..., :3]
@@ -73,7 +73,11 @@ def main(argv=None):
         W, H = W0, H0
 
     scene = compile_obj(args.scene, max_path_len=64)
-    packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
+    mode = packet_mode(scene.device)
+    if mode == "dense":  # small-scene brute force: pure XLA, any backend
+        packet = "dense"
+    else:
+        packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
     film = film_mod.new_film(W, H)
     checkpoints = sorted(int(t) for t in args.checkpoints.split(",") if t)

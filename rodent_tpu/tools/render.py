@@ -52,6 +52,7 @@ def main(argv=None):
                         "hall-class scenes, films bit-identical; auto "
                         "enables it for non-trivial scenes (>16K tris)")
     p.add_argument("--traversal", choices=("auto", "tiled", "packet",
+                                           "dense",
                                            "hybrid", "hybrid-hbm",
                                            "hybrid-giga"),
                    default="auto",
@@ -75,12 +76,17 @@ def main(argv=None):
     import jax as _jax
     if args.traversal == "auto":
         mode = packet_mode(scene.device)
-        packet = (mode if ((not args.no_packet) and mode
-                           and _jax.default_backend() == "tpu")
-                  else False)
+        if args.no_packet:
+            packet = False
+        elif mode == "dense":
+            # pure XLA — valid (and fastest) on every backend
+            packet = "dense"
+        else:
+            packet = (mode if (mode and _jax.default_backend() == "tpu")
+                      else False)
     else:
-        packet = {"tiled": False, "packet": True, "hybrid": "hybrid",
-                  "hybrid-hbm": "hybrid-hbm",
+        packet = {"tiled": False, "packet": True, "dense": "dense",
+                  "hybrid": "hybrid", "hybrid-hbm": "hybrid-hbm",
                   "hybrid-giga": "hybrid-giga"}[args.traversal]
     num_tris = scene.device["tri_geo"].shape[0]
     sort = (args.sort == "on" or (args.sort == "auto" and num_tris > 16384))

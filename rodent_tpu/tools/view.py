@@ -222,7 +222,10 @@ def main(argv=None):
 
     scene = compile_obj(args.scene, max_path_len=args.max_path_len)
     mode = packet_mode(scene.device)
-    packet = mode if (mode and jax.default_backend() == "tpu") else False
+    if mode == "dense":  # pure XLA — valid on every backend
+        packet = "dense"
+    else:
+        packet = mode if (mode and jax.default_backend() == "tpu") else False
     rig = CameraRig(args.eye, args.dir, args.up)
     tspeed = 0.1
 

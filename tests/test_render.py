@@ -155,6 +155,26 @@ def test_traversal_policies_agree(cornell):
     films = [np.asarray(render_sample(scene.device, cam, film0, w, h, 0, 0,
                                       packet=pol))
              for pol in (False, True, "hybrid", "hbm", "hybrid-hbm",
-                         "giga", "hybrid-giga")]
+                         "giga", "hybrid-giga", "dense")]
     for f in films[1:]:
         np.testing.assert_allclose(f, films[0], atol=1e-5, rtol=1e-5)
+
+
+def test_dense_persistent_film_matches(cornell):
+    """packet="dense" (small-scene brute-force traversal) runs the same
+    Moller-Trumbore as the BVH engines, so the persistent renderer's
+    film must match the tiled-traversal film on cornell up to FMA-
+    contraction ULP noise — and packet_mode must auto-select it for
+    cornell-class scenes."""
+    from rodent_tpu.render.compiler import packet_mode
+    from rodent_tpu.render.integrator import render_iteration_persistent
+    assert packet_mode(cornell.device) == "dense"
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 24, 16)
+
+    def run(packet):
+        return np.asarray(render_iteration_persistent(
+            cornell.device, cam, film_mod.new_film(24, 16), 24, 16, 2, 0,
+            pool=256, packet=packet))
+
+    np.testing.assert_allclose(run("dense"), run(False),
+                               rtol=1e-5, atol=1e-5)

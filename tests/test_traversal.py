@@ -179,6 +179,34 @@ def test_tiled_matches_api():
     np.testing.assert_array_equal(blocked_a, blocked_b)
 
 
+def test_dense_matches_api():
+    """The dense small-scene engine (traversal.dense: brute-force every
+    Tri packet, no BVH walk) must agree with api.traverse: identical
+    prim/geom ids (same closest hit on tie-free scenes) and t/u/v equal
+    to float ULPs (XLA contracts the mul+add chains into FMAs
+    differently between the two program shapes). Covers dead slots
+    (tmax < tmin), tile padding (ray count not a multiple of 128), and
+    any-hit occlusion."""
+    from rodent_tpu.traversal.dense import traverse_dense
+    verts, idx = random_tri_soup(100, seed=61)   # 13 Tri8 packets
+    bvh = build_bvh(verts, idx, arity=8, packet=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=67)             # exercises padding
+    rays["tmax"] = rays["tmax"].at[::5].set(-1.0)  # dead slots
+    a = traverse(dev, rays)
+    b = traverse_dense(dev, rays)
+    for k in ("prim_id", "geom_id"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    for k in ("t", "u", "v"):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-5, atol=1e-6)
+    rays2 = random_rays(256, seed=71, tmax=2.0)
+    blocked_a = np.asarray(occluded(dev, rays2))
+    blocked_b = np.asarray(
+        traverse_dense(dev, rays2, any_hit=True)["prim_id"]) >= 0
+    np.testing.assert_array_equal(blocked_a, blocked_b)
+
+
 def test_tiled_staged_compaction_matches():
     """compact_stages > 0 (staged-halving row compaction with hit
     scatter-back) must be exactly equal to the single-stage loop: the
