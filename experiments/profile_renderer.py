@@ -240,6 +240,18 @@ def main():
         print(f"pool {pool>>10}K: {dt*1e3:7.1f} ms/iter "
               f"({total/dt/1e6:5.2f} Msamples/s)")
 
+    # ---- deferred retirement (retire_every=K): 1/K of the splat+regen
+    # cost vs a utilization loss of ~death_rate*(K-1)/2; films are
+    # bit-identical for any K ----
+    for k in (2, 3, 4):
+        def fnk(film, k=k):
+            return integrator.render_iteration_persistent(
+                scene.device, cam, film, W0, H0, spp, 1, retire_every=k,
+                packet=packet)
+        dt = timed(fnk, film0, iters=min(iters, 3))
+        print(f"retire_every {k}: {dt*1e3:7.1f} ms/iter "
+              f"({total/dt/1e6:5.2f} Msamples/s)")
+
 
 if __name__ == "__main__":
     main()

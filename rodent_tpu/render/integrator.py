@@ -526,12 +526,13 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
 
 @partial(rjit, static_argnames=("camera", "width", "height", "spp",
                                    "pool", "packet", "n_pixels", "sort",
-                                   "compact"),
+                                   "compact", "retire_every"),
          donate_argnames=("film",))
 def render_iteration_persistent(scene, camera, film, width, height, spp,
                                 iteration, pool=None, packet=False,
                                 pixel_lo=0, n_pixels=None, sample_lo=0,
-                                spp_weight=None, sort=False, compact=0):
+                                spp_weight=None, sort=False, compact=0,
+                                retire_every=1):
     """Persistent-wavefront iteration: the TPU form of the reference's
     megakernel regeneration trick (gpu_mega_kernel_trace,
     src/render/mapping_gpu.impala:371-474 — dead paths immediately pull
@@ -550,7 +551,18 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     per-pixel sample ids (sample-parallel axis); spp_weight overrides the
     film accumulation weight (1/spp_total instead of 1/spp_local). When
     film has n_pixels rows (a local shard), splats use strip-local
-    indices."""
+    indices.
+
+    retire_every=K > 1 batches retirement: the film splat + sample
+    regeneration (3 full-pool scatter-adds, a cumsum, a camera emission
+    and ~20 state merges) runs every K-th step instead of every step;
+    dead slots idle up to K-1 steps in between (a retirement also fires
+    whenever NO slot is alive, so progress is guaranteed). Films are
+    bit-identical for any K: samples are keyed by id, not by which slot
+    or step serves them. Trade: ~1/K of the retirement cost against a
+    utilization loss of roughly death_rate * (K-1)/2 — profitable when
+    the splat/regen block dominates the step (measure with
+    experiments/profile_renderer.py)."""
     # the hybrid policies are wavefront-level (depth-0 peel) and don't
     # apply to a mixed-depth pool; map them to their full-packet flavor
     # ("hybrid-hbm" MUST keep the Tri-DMA mode — its Tri table exceeds
@@ -598,21 +610,18 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     }
 
     def cond(c):
-        return jnp.any(c["state"]["alive"])
+        # next_free < total matters only under deferred retirement (all
+        # slots can be dead while samples remain unassigned); with
+        # retire_every=1 it is always False when no slot is alive
+        return jnp.any(c["state"]["alive"]) | (c["next_free"] < total)
 
-    def body(c):
-        rays, state, film = c["rays"], c["state"], c["film"]
-        next_free = c["next_free"]
-        hit = _traverse(scene, rays, packet=packet, sort=sort,
-                        compact=compact)
-        rays, state = _shade(scene, rays, hit, state, packet=packet,
-                             sort=sort, compact=compact)
-
-        # regenerate: dead *real* slots pull the next unprocessed sample
+    def retire(op):
+        """Splat finished paths and regenerate their slots with the next
+        unprocessed samples (weighted 1/spp: the film holds
+        per-iteration means, mapping_cpu.impala:365-370)."""
+        rays, state, film, next_free = op
+        # dead *real* slots pull the next unprocessed sample
         dead = ~state["alive"] & (tile(jnp.ones(pool, jnp.int32), r) == 1)
-        # retire finished paths: splat their accumulated radiance
-        # (weighted 1/spp: the film holds per-iteration means,
-        # mapping_cpu.impala:365-370)
         fidx = state["pixel"] - pixel_lo if local_film else state["pixel"]
         film = _splat_planar(film, fidx, vm.scale(state["acc"], weight),
                              dead)
@@ -646,15 +655,38 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
             "alive": state["alive"] | can,
             "acc": state["acc"],  # zeroed above for retired slots
         }
+        return rays, state, film, next_free
+
+    def body(c):
+        rays, state, film = c["rays"], c["state"], c["film"]
+        next_free = c["next_free"]
+        hit = _traverse(scene, rays, packet=packet, sort=sort,
+                        compact=compact)
+        rays, state = _shade(scene, rays, hit, state, packet=packet,
+                             sort=sort, compact=compact)
+
+        step = c["step"]
+        if retire_every == 1:
+            rays, state, film, next_free = retire(
+                (rays, state, film, next_free))
+        else:
+            # deferred retirement: fire every K-th step, or whenever no
+            # slot is alive (else the loop could spin with work pending)
+            step = step + 1
+            do = ((step % retire_every == 0)
+                  | ~jnp.any(state["alive"]))
+            rays, state, film, next_free = jax.lax.cond(
+                do, retire, lambda op: op,
+                (rays, state, film, next_free))
         return {"rays": rays, "state": state, "film": film,
-                "next_free": next_free}
+                "next_free": next_free, "step": step}
 
     # the loop carries the film as 3 component planes (see _splat_planar);
     # split/recombine once per iteration, not per step
     planes = tuple(film[:, i] for i in range(3))
     out = jax.lax.while_loop(cond, body, {
         "rays": rays, "state": state, "film": planes,
-        "next_free": next_free})
+        "next_free": next_free, "step": jnp.int32(0)})
     # slots that ran out of samples never hit the dead-splat in body
     fstate = out["state"]
     fidx = fstate["pixel"] - pixel_lo if local_film else fstate["pixel"]

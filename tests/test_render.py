@@ -178,3 +178,22 @@ def test_dense_persistent_film_matches(cornell):
 
     np.testing.assert_allclose(run("dense"), run(False),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_deferred_retirement_film_bit_identical(cornell):
+    """retire_every=K batches the splat+regeneration block every K steps
+    (dead slots idle in between). Samples are keyed by id, not by slot
+    or step, so the film must be bit-identical for any K — including
+    pools smaller than the sample count (regeneration active) and the
+    all-dead mid-cycle forced retirement."""
+    from rodent_tpu.render.integrator import render_iteration_persistent
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 24, 16)
+
+    def run(k):
+        return np.asarray(render_iteration_persistent(
+            cornell.device, cam, film_mod.new_film(24, 16), 24, 16, 2, 0,
+            pool=256, retire_every=k))
+
+    base = run(1)
+    for k in (2, 5):
+        np.testing.assert_array_equal(run(k), base)
