@@ -74,3 +74,27 @@ def gather_cols(table, idx):
     r = idx.shape[0]
     rows = gather_rows(table, idx.reshape(r * 128))
     return rows.T.reshape(table.shape[1], r, 128)
+
+
+# A ~32-deep where-chain is ~N+N*C cheap full-tile vector ops (no memory
+# indirection at all), far below even the fast-gather floor for full-pool
+# fetches — the same trick gather_material / render.light already use for
+# small tables, generalized to any packed row table.
+SELECT_CHAIN_ROWS = 32
+
+
+def gather_cols_select(table, idx):
+    """gather_cols for tiny tables (<= SELECT_CHAIN_ROWS rows) as a pure
+    select chain: bit-identical values, zero gathers. Runs the chain on
+    the int32 bitcast of the table — packed rows carry bitcast integer
+    columns whose bit patterns are denormal as f32, and integer selects
+    can never flush them (f32 arithmetic on TPU would)."""
+    import jax
+    n, c = table.shape
+    ti = jax.lax.bitcast_convert_type(table, jnp.int32)
+    cols = [jnp.broadcast_to(ti[0, j], idx.shape) for j in range(c)]
+    for i in range(1, n):
+        m = idx == i
+        cols = [jnp.where(m, ti[i, j], col) for j, col in enumerate(cols)]
+    out = jnp.stack(cols)                      # (C, R, 128) int32
+    return jax.lax.bitcast_convert_type(out, table.dtype)

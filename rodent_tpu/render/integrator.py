@@ -38,7 +38,8 @@ import jax.numpy as jnp
 
 from ..core import vmath as vm
 from ..core.rng import randf, seed_camera_rays
-from ..core.tiles import gather_cols, num_tiles, tile
+from ..core.tiles import (SELECT_CHAIN_ROWS, gather_cols,
+                          gather_cols_select, num_tiles, tile)
 from ..utils.compile import rjit
 from ..traversal.pallas_packet import traverse_packet_components
 from ..traversal.sorting import ray_sort_keys
@@ -158,7 +159,12 @@ def surface_element(scene, rays, hit):
     u, v = hit["u"], hit["v"]
     w = 1.0 - u - v
     if "tri_shade" in scene:
-        ts = gather_cols(scene["tri_shade"], prim)   # (20, R, 128)
+        tbl = scene["tri_shade"]
+        # cornell-class scenes: a select chain replaces the per-step
+        # full-pool row gather entirely (bit-identical values)
+        ts = (gather_cols_select(tbl, prim)
+              if tbl.shape[0] <= SELECT_CHAIN_ROWS
+              else gather_cols(tbl, prim))           # (20, R, 128)
         mat_id = bc(ts[0])
         face_n = (ts[1], ts[2], ts[3])
         light_id = bc(ts[4])

@@ -125,3 +125,24 @@ def test_russian_roulette():
     assert float(sampling.russian_roulette(c)) == 0.75
     c = vm.vec3(0.1, 0.1, 0.1)
     np.testing.assert_allclose(float(sampling.russian_roulette(c)), 0.2, rtol=1e-5)
+
+
+def test_gather_cols_select_bit_identical():
+    """The small-table select-chain gather must reproduce gather_cols
+    bit-for-bit — including bitcast-integer columns whose f32 bit
+    patterns are denormal (the chain runs on the int32 view so no TPU
+    arithmetic can flush them)."""
+    import jax
+    from rodent_tpu.core.tiles import gather_cols, gather_cols_select
+    r = np.random.RandomState(3)
+    n, c = 20, 13
+    table = r.randn(n, c).astype(np.float32)
+    # column 5 carries bitcast int32 ids (denormal as f32), like
+    # tri_shade's mat/light columns
+    ids = r.randint(-3, 40, n).astype(np.int32)
+    table[:, 5] = ids.view(np.float32)
+    table = jnp.asarray(table)
+    idx = jnp.asarray(r.randint(0, n, (4, 128)).astype(np.int32))
+    a = np.asarray(gather_cols(table, idx))
+    b = np.asarray(gather_cols_select(table, idx))
+    np.testing.assert_array_equal(a.view(np.int32), b.view(np.int32))
