@@ -1255,7 +1255,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     meta = dev.get("meta")
     stack_size = (max(meta.shared_stack + 2, 16)
                   if isinstance(meta, BvhMeta) else STACK)
-    node_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if nodes_hbm
+    node_spec = (pl.BlockSpec(memory_space=pl.ANY) if nodes_hbm
                  else pl.BlockSpec(nodes2.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM))
     # prefetch double-buffers the DMA landing lines (2 rows per table)
@@ -1282,7 +1282,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
             in_specs=[pl.BlockSpec((11, blk, 128), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
                       node_spec,
-                      (pl.BlockSpec(memory_space=pltpu.ANY) if tris_hbm
+                      (pl.BlockSpec(memory_space=pl.ANY) if tris_hbm
                        else pl.BlockSpec(tris2.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))],
             out_specs=[pl.BlockSpec((blk, 128), lambda i: (i, 0),
@@ -1336,7 +1336,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         out_shape=out_shapes,
         in_specs=[rays_spec,
                   node_spec,
-                  (pl.BlockSpec(memory_space=pltpu.ANY) if tris_hbm else
+                  (pl.BlockSpec(memory_space=pl.ANY) if tris_hbm else
                    pl.BlockSpec(tris2.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM))],
         out_specs=out_specs,
