@@ -23,7 +23,9 @@ OUT=benchmarks/results_tpu_r3.txt
       --scenes powerplant --dists primary,bounces \
       --variants hbm,hbm-nopf,giga,giga-nopf --iters 5
   echo
-  echo "# packet kernel rows x multi sweep (hall; VERDICT item 2)"
-  timeout 1200 python -u experiments/measure_packet.py \
-      --rows 8,16,32 --multi 1,2,3,4 --dists primary,ao
+  echo "# packet kernel rows x multi sweep (hall; VERDICT items 1+2)"
+  # ao first: the incoherent rows are the new information; a truncated
+  # sweep still leaves them in the table
+  timeout 2400 python -u experiments/measure_packet.py \
+      --rows 8,16,32 --multi 1,2,3,4 --dists ao,primary
 } 2>&1 | grep -v WARNING | tee "$OUT"

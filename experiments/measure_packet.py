@@ -63,12 +63,14 @@ def main():
     fnrm = np.cross(v0 - v1, v2 - v0)
     fnrm = np.where((fnrm * dirs).sum(1, keepdims=True) > 0, -fnrm, fnrm)
 
+    # dists run in the order given on the CLI so a timeout-truncated
+    # sweep still prints the highest-value rows first
     dists = {}
-    if "primary" in args.dists:
-        dists["primary"] = (prim_s, False)
-    for kind, any_hit in (("ao", True), ("bounces", False)):
-        if kind not in args.dists:
+    for kind in args.dists.split(","):
+        if kind == "primary":
+            dists["primary"] = (prim_s, False)
             continue
+        any_hit = kind == "ao"
         o2, d2, tmax2 = hall_secondary_rays(kind, hp, fnrm)
         rays2 = make_rays(jnp.asarray(o2), jnp.asarray(d2),
                           jnp.full(n, 1e-3, jnp.float32),
