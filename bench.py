@@ -170,12 +170,14 @@ def main():
     # compile pass (iteration 0), then timed passes
     film = render_iteration_persistent(scene.device, cam, film, W0, H0,
                                        spp, 0, packet=packet)
-    jax.block_until_ready(film)
+    # tiny host fetches bracket the timed loop: block_until_ready returns
+    # early on some remote XLA programs (ROADMAP round-2 session-3)
+    _ = np.asarray(film[:1])
     t0 = time.perf_counter()
     for it in range(1, iters):
         film = render_iteration_persistent(scene.device, cam, film, W0, H0,
                                            spp, it, packet=packet)
-    jax.block_until_ready(film)
+    _ = np.asarray(film[:1])
     dt = time.perf_counter() - t0
     img = film_mod.tonemap(film, W0, H0, iters)
     detail["cornell_mse_u8"] = round(film_mod.mse_u8(ref, img), 2)

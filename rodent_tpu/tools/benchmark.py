@@ -255,14 +255,18 @@ def _render_one(args, sizes, scene_name, W, H, spp):
     film = render_iteration_persistent(scene.device, cam, film, W, H,
                                        spp, 0, packet=packet,
                                        sort=sort)
-    jax.block_until_ready(film)
+    # force a small host fetch: block_until_ready returns early on some
+    # remote XLA programs (ROADMAP round-2 session-3 — a bigscene timing
+    # once read 11,603 Mrays/s); ~30 ms tunnel cost per fetch is <2% of
+    # a renderer iteration
+    _ = np.asarray(film[:1])
     times = []
     for it in range(1, args.iters + 1):
         t0 = time.perf_counter()
         film = render_iteration_persistent(scene.device, cam, film,
                                            W, H, spp, it,
                                            packet=packet, sort=sort)
-        jax.block_until_ready(film)
+        _ = np.asarray(film[:1])
         times.append(time.perf_counter() - t0)
     ms = np.sort(W * H * spp / np.asarray(times) / 1e6)
     mean_lum = float(np.asarray(film).mean()) / (args.iters + 1)
