@@ -103,7 +103,7 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
 def render_iteration_persistent_sharded(scene, camera, film, width,
                                         height, spp, iteration, mesh,
                                         pool=None, packet=False,
-                                        sort=False):
+                                        sort=False, retire_every=1):
     """Persistent-wavefront iteration over the mesh: each px shard runs
     the regeneration pool on its own pixel strip (strip-local film
     splats), each sp rank traces a disjoint sample range, partials psum
@@ -133,7 +133,8 @@ def render_iteration_persistent_sharded(scene, camera, film, width,
         delta = render_iteration_persistent(
             scene_local, camera, jnp.zeros_like(film_local), width,
             height, spp_local, iteration, pool=pool, packet=packet,
-            sort=sort, pixel_lo=px_rank * local, n_pixels=local,
+            sort=sort, retire_every=retire_every,
+            pixel_lo=px_rank * local, n_pixels=local,
             sample_lo=sp_rank * spp_local, spp_weight=1.0 / spp)
         return film_local + jax.lax.psum(delta, "sp")
 
