@@ -48,25 +48,46 @@ def timed(fn, film0, iters):
 
 
 def main():
-    ref = png.read_png("/root/reference/testing/ref-cornell.png")[..., :3]
-    H0, W0 = (120, 160) if TINY else ref.shape[:2]
-    spp = 1 if TINY else 4
-    iters = 1 if TINY else 5
-    scene = compile_obj("/root/reference/testing/cornell_box.obj",
-                        max_path_len=64)
+    if "--scene" in sys.argv and \
+            sys.argv[sys.argv.index("--scene") + 1] == "hall":
+        # hall-260K at a reduced res: attributes the reference-config
+        # renderer rows (benchmark --mode renderer); per-step re-sort on
+        # like the sweep
+        from rodent_tpu.render.compiler import compile_mesh
+        from rodent_tpu.utils.testscenes import make_hall
+        name = "hall"
+        verts, idx = make_hall(2_000 if TINY else 260_000)
+        scene = compile_mesh(verts, idx, max_path_len=20,
+                             emitter="inside")
+        W0, H0 = (96, 64) if TINY else (480, 272)
+        spp = 1 if TINY else 2
+        iters = 1 if TINY else 3
+        cam = Camera.make((2.5, 5.0, 5.0), (1.0, -0.12, 0.02), (0, 1, 0),
+                          60.0, W0, H0)
+    else:
+        name = "cornell"
+        ref = png.read_png("/root/reference/testing/ref-cornell.png")[..., :3]
+        H0, W0 = (120, 160) if TINY else ref.shape[:2]
+        spp = 1 if TINY else 4
+        iters = 1 if TINY else 5
+        scene = compile_obj("/root/reference/testing/cornell_box.obj",
+                            max_path_len=64)
+        cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
     mode = packet_mode(scene.device)
     if mode == "dense":   # match bench.py's production policy
         packet = "dense"
     else:
-        packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
-    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
+        packet = mode if jax.default_backend() == "tpu" else False
+    sort = bool(packet) and name == "hall"
     total = W0 * H0 * spp
-    print(f"cornell {W0}x{H0} spp{spp} total {total} packet={packet}")
+    print(f"{name} {W0}x{H0} spp{spp} total {total} packet={packet} "
+          f"sort={sort}")
 
     def run(it0):
         def fn(film):
             return integrator.render_iteration_persistent(
-                scene.device, cam, film, W0, H0, spp, it0, packet=packet)
+                scene.device, cam, film, W0, H0, spp, it0, packet=packet,
+                sort=sort)
         return fn
 
     film0 = film_mod.new_film(W0, H0)
@@ -235,7 +256,7 @@ def main():
         def fnp(film, pool=pool):
             return integrator.render_iteration_persistent(
                 scene.device, cam, film, W0, H0, spp, 1, pool=pool,
-                packet=packet)
+                packet=packet, sort=sort)
         dt = timed(fnp, film0, iters=min(iters, 3))
         print(f"pool {pool>>10}K: {dt*1e3:7.1f} ms/iter "
               f"({total/dt/1e6:5.2f} Msamples/s)")
@@ -247,7 +268,7 @@ def main():
         def fnk(film, k=k):
             return integrator.render_iteration_persistent(
                 scene.device, cam, film, W0, H0, spp, 1, retire_every=k,
-                packet=packet)
+                packet=packet, sort=sort)
         dt = timed(fnk, film0, iters=min(iters, 3))
         print(f"retire_every {k}: {dt*1e3:7.1f} ms/iter "
               f"({total/dt/1e6:5.2f} Msamples/s)")
