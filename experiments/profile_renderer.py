@@ -261,6 +261,17 @@ def main():
         print(f"pool {pool>>10}K: {dt*1e3:7.1f} ms/iter "
               f"({total/dt/1e6:5.2f} Msamples/s)")
 
+    # ---- per-step sort A/B (hall mode runs sort=True baseline): the
+    # argsort + 11-array permute per traversal vs its coherence win ----
+    if sort:
+        def fns(film):
+            return integrator.render_iteration_persistent(
+                scene.device, cam, film, W0, H0, spp, 1, packet=packet,
+                sort=False)
+        dt = timed(fns, film0, iters=min(iters, 3))
+        print(f"sort-off: {dt*1e3:7.1f} ms/iter "
+              f"({total/dt/1e6:5.2f} Msamples/s)")
+
     # ---- deferred retirement (retire_every=K): 1/K of the splat+regen
     # cost vs a utilization loss of ~death_rate*(K-1)/2; films are
     # bit-identical for any K ----
