@@ -264,13 +264,22 @@ def main():
     # ---- per-step sort A/B (hall mode runs sort=True baseline): the
     # argsort + 11-array permute per traversal vs its coherence win ----
     if sort:
-        def fns(film):
-            return integrator.render_iteration_persistent(
-                scene.device, cam, film, W0, H0, spp, 1, packet=packet,
-                sort=False)
-        dt = timed(fns, film0, iters=min(iters, 3))
-        print(f"sort-off: {dt*1e3:7.1f} ms/iter "
-              f"({total/dt/1e6:5.2f} Msamples/s)")
+        for mode_s, label in ((False, "sort-off"), ("pool", "sort-pool")):
+            def fns(film, mode_s=mode_s):
+                return integrator.render_iteration_persistent(
+                    scene.device, cam, film, W0, H0, spp, 1,
+                    packet=packet, sort=mode_s)
+            dt = timed(fns, film0, iters=min(iters, 3))
+            print(f"{label}: {dt*1e3:7.1f} ms/iter "
+                  f"({total/dt/1e6:5.2f} Msamples/s)")
+        for k in (2, 4):
+            def fnpk(film, k=k):
+                return integrator.render_iteration_persistent(
+                    scene.device, cam, film, W0, H0, spp, 1,
+                    packet=packet, sort="pool", retire_every=k)
+            dt = timed(fnpk, film0, iters=min(iters, 3))
+            print(f"sort-pool+retire{k}: {dt*1e3:7.1f} ms/iter "
+                  f"({total/dt/1e6:5.2f} Msamples/s)")
 
     # ---- deferred retirement (retire_every=K): 1/K of the splat+regen
     # cost vs a utilization loss of ~death_rate*(K-1)/2; films are

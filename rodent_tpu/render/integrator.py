@@ -433,6 +433,9 @@ def render_sample(scene, camera, film, width, height, sample, iteration,
     rays (peeled out of the loop), dual-queue for bounce depths — the
     per-distribution kernel switch the reference's hybrid mode makes
     per packet (mapping_cpu.impala:267-324)."""
+    # "pool" (stateful pool reorder) only exists in the persistent loop;
+    # here it degrades to the per-call re-sort
+    sort = sort in (True, "pool")
     if pixel_ids is None:
         pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
     n = pixel_ids.shape[0]
@@ -568,7 +571,16 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     or step serves them. Trade: ~1/K of the retirement cost against a
     utilization loss of roughly death_rate * (K-1)/2 — profitable when
     the splat/regen block dominates the step (measure with
-    experiments/profile_renderer.py)."""
+    experiments/profile_renderer.py).
+
+    sort="pool" reorders the POOL ITSELF at each retirement (org9|oct|
+    dir20 keys of the post-regen rays, dead slots to the tail) instead
+    of re-sorting + hit-unsorting around every traversal call
+    (sort=True): one argsort + ~20 array permutations per retirement
+    replaces two argsorts + 11 permutes + 5 hit scatters per step, and
+    BOTH the bounce and the NEE shadow traversals then see coherent
+    tiles for free. Slot identity carries the sample, so films are
+    bit-identical to sort=False/True."""
     # the hybrid policies are wavefront-level (depth-0 peel) and don't
     # apply to a mixed-depth pool; map them to their full-packet flavor
     # ("hybrid-hbm" MUST keep the Tri-DMA mode — its Tri table exceeds
@@ -615,6 +627,14 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         "acc": (zeros, zeros, zeros),
     }
 
+    # pool-sort mode needs a carried real-slot mask: the padding slots
+    # move when the pool is permuted, so the positional mask is wrong
+    pool_sort = sort == "pool" and "scene_lo" in scene
+    real0 = tile(jnp.ones(pool, jnp.int32), r) == 1
+    # per-traversal-call re-sort only for sort=True (pool mode sorts once
+    # per retirement instead)
+    call_sort = sort is True
+
     def cond(c):
         # next_free < total matters only under deferred retirement (all
         # slots can be dead while samples remain unassigned); with
@@ -625,9 +645,9 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
         """Splat finished paths and regenerate their slots with the next
         unprocessed samples (weighted 1/spp: the film holds
         per-iteration means, mapping_cpu.impala:365-370)."""
-        rays, state, film, next_free = op
+        rays, state, film, next_free, real = op
         # dead *real* slots pull the next unprocessed sample
-        dead = ~state["alive"] & (tile(jnp.ones(pool, jnp.int32), r) == 1)
+        dead = ~state["alive"] & real
         fidx = state["pixel"] - pixel_lo if local_film else state["pixel"]
         film = _splat_planar(film, fidx, vm.scale(state["acc"], weight),
                              dead)
@@ -661,42 +681,75 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
             "alive": state["alive"] | can,
             "acc": state["acc"],  # zeroed above for retired slots
         }
-        return rays, state, film, next_free
+
+        if pool_sort:
+            # reorder the pool by the post-regen rays' cone keys so the
+            # next steps' bounce AND shadow traversals see coherent
+            # tiles; dead/padding slots key to the tail so tail tiles
+            # deactivate whole. Slot identity carries (pixel, acc,
+            # sample), so the film is unchanged.
+            shape = state["mis"].shape
+            keys = ray_sort_keys(
+                tuple(x.reshape(-1) for x in rays["org"]),
+                tuple(x.reshape(-1) for x in rays["dir"]),
+                scene["scene_lo"], scene["scene_hi"])
+            keys = jnp.where(state["alive"].reshape(-1), keys,
+                             jnp.uint32(0xFFFFFFFF))
+            perm = jnp.argsort(keys)
+
+            def g(x):
+                return x.reshape(-1)[perm].reshape(shape)
+
+            def gt(t):
+                return tuple(g(x) for x in t)
+
+            rays = make_rays_c(gt(rays["org"]), gt(rays["dir"]),
+                               g(rays["tmin"]), g(rays["tmax"]))
+            state = {
+                "rnd": g(state["rnd"]),
+                "contrib": gt(state["contrib"]),
+                "mis": g(state["mis"]),
+                "depth": g(state["depth"]),
+                "pixel": g(state["pixel"]),
+                "alive": g(state["alive"]),
+                "acc": gt(state["acc"]),
+            }
+            real = g(real)
+        return rays, state, film, next_free, real
 
     def body(c):
         rays, state, film = c["rays"], c["state"], c["film"]
         next_free = c["next_free"]
-        hit = _traverse(scene, rays, packet=packet, sort=sort,
+        hit = _traverse(scene, rays, packet=packet, sort=call_sort,
                         compact=compact)
         rays, state = _shade(scene, rays, hit, state, packet=packet,
-                             sort=sort, compact=compact)
+                             sort=call_sort, compact=compact)
 
         step = c["step"]
         if retire_every == 1:
-            rays, state, film, next_free = retire(
-                (rays, state, film, next_free))
+            rays, state, film, next_free, real = retire(
+                (rays, state, film, next_free, c["real"]))
         else:
             # deferred retirement: fire every K-th step, or whenever no
             # slot is alive (else the loop could spin with work pending)
             step = step + 1
             do = ((step % retire_every == 0)
                   | ~jnp.any(state["alive"]))
-            rays, state, film, next_free = jax.lax.cond(
+            rays, state, film, next_free, real = jax.lax.cond(
                 do, retire, lambda op: op,
-                (rays, state, film, next_free))
+                (rays, state, film, next_free, c["real"]))
         return {"rays": rays, "state": state, "film": film,
-                "next_free": next_free, "step": step}
+                "next_free": next_free, "step": step, "real": real}
 
     # the loop carries the film as 3 component planes (see _splat_planar);
     # split/recombine once per iteration, not per step
     planes = tuple(film[:, i] for i in range(3))
     out = jax.lax.while_loop(cond, body, {
         "rays": rays, "state": state, "film": planes,
-        "next_free": next_free, "step": jnp.int32(0)})
+        "next_free": next_free, "step": jnp.int32(0), "real": real0})
     # slots that ran out of samples never hit the dead-splat in body
     fstate = out["state"]
     fidx = fstate["pixel"] - pixel_lo if local_film else fstate["pixel"]
     planes = _splat_planar(out["film"], fidx,
-                           vm.scale(fstate["acc"], weight),
-                           tile(jnp.ones(pool, jnp.int32), r) == 1)
+                           vm.scale(fstate["acc"], weight), out["real"])
     return jnp.stack(planes, axis=-1)

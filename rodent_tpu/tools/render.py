@@ -45,7 +45,8 @@ def main(argv=None):
                    help="full-width progressive wavefront instead of the "
                         "persistent 32K regeneration pool (films are "
                         "bit-identical; persistent is ~4x faster)")
-    p.add_argument("--sort", choices=("auto", "on", "off"), default="auto",
+    p.add_argument("--sort", choices=("auto", "on", "off", "pool"),
+                   default="auto",
                    help="re-sort the wavefront every bounce before "
                         "traversal (the reference's per-bounce "
                         "sort_rays, mapping_cpu.impala:409): +32%% on "
@@ -89,7 +90,9 @@ def main(argv=None):
                   "hybrid": "hybrid", "hybrid-hbm": "hybrid-hbm",
                   "hybrid-giga": "hybrid-giga"}[args.traversal]
     num_tris = scene.device["tri_geo"].shape[0]
-    sort = (args.sort == "on" or (args.sort == "auto" and num_tris > 16384))
+    sort = ("pool" if args.sort == "pool" else
+            (args.sort == "on"
+             or (args.sort == "auto" and num_tris > 16384)))
     cam = Camera.make(args.eye, args.dir, args.up, args.fov,
                       args.width, args.height)
     film = film_mod.new_film(args.width, args.height)

@@ -197,3 +197,22 @@ def test_deferred_retirement_film_bit_identical(cornell):
     base = run(1)
     for k in (2, 5):
         np.testing.assert_array_equal(run(k), base)
+
+
+def test_pool_sort_film_bit_identical(cornell):
+    """sort="pool" permutes the pool itself at each retirement (slot
+    identity carries pixel/acc/sample), so the film must be bit-identical
+    to the unsorted run — including with deferred retirement, regeneration
+    active, and pool padding (pool=200 is not a multiple of 128, so real
+    slots move across the padding boundary when permuted)."""
+    from rodent_tpu.render.integrator import render_iteration_persistent
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 24, 16)
+
+    def run(sort, k=1):
+        return np.asarray(render_iteration_persistent(
+            cornell.device, cam, film_mod.new_film(24, 16), 24, 16, 2, 0,
+            pool=200, sort=sort, retire_every=k))
+
+    base = run(False)
+    np.testing.assert_array_equal(run("pool"), base)
+    np.testing.assert_array_equal(run("pool", k=3), base)
