@@ -146,8 +146,7 @@ def main():
     from rodent_tpu.io import png
     from rodent_tpu.render import film as film_mod
     from rodent_tpu.render.camera import Camera
-    from rodent_tpu.render.compiler import (compile_obj, packet_mode,
-                                            packet_ok)
+    from rodent_tpu.render.compiler import compile_obj, select_packet
     from rodent_tpu.render.integrator import render_iteration_persistent
 
     ref = png.read_png("/root/reference/testing/ref-cornell.png")[..., :3]
@@ -160,11 +159,7 @@ def main():
     # cornell is 32 tris = 4 Tri8 packets: the dense small-scene engine
     # (brute-force, no BVH walk) replaces two packet-kernel invocations
     # per wavefront step with ~1.6K fused vector ops
-    mode = packet_mode(scene.device)
-    if mode == "dense":
-        packet = "dense"
-    else:
-        packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
+    packet = select_packet(scene.device)
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
     film = film_mod.new_film(W0, H0)
     # compile pass (iteration 0), then timed passes

@@ -31,7 +31,7 @@ if TINY:
 from rodent_tpu.render import film as film_mod
 from rodent_tpu.render import integrator
 from rodent_tpu.render.camera import Camera
-from rodent_tpu.render.compiler import compile_obj, packet_mode, packet_ok
+from rodent_tpu.render.compiler import compile_obj, select_packet
 from rodent_tpu.io import png
 
 
@@ -73,11 +73,7 @@ def main():
         scene = compile_obj("/root/reference/testing/cornell_box.obj",
                             max_path_len=64)
         cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
-    mode = packet_mode(scene.device)
-    if mode == "dense":   # match bench.py's production policy
-        packet = "dense"
-    else:
-        packet = mode if jax.default_backend() == "tpu" else False
+    packet = select_packet(scene.device)
     sort = bool(packet) and name == "hall"
     total = W0 * H0 * spp
     print(f"{name} {W0}x{H0} spp{spp} total {total} packet={packet} "

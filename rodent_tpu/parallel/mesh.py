@@ -47,7 +47,7 @@ def shard_scene(scene, mesh):
 
 
 def render_iteration_sharded(scene, camera, film, width, height, spp,
-                             iteration, mesh):
+                             iteration, mesh, packet=False, sort=False):
     """One progressive iteration over the mesh.
 
     film: (W*H, 3) float32, sharded along "px". Each px-shard owns a
@@ -88,7 +88,8 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
         def body(i, f):
             s = sp_rank * spp_local + i
             return render_sample(scene_local, camera, f, width, height,
-                                 s, iteration, pixel_ids=pixel_ids)
+                                 s, iteration, pixel_ids=pixel_ids,
+                                 packet=packet, sort=sort)
 
         partial_film = jax.lax.fori_loop(
             0, spp_local, body, jnp.zeros_like(film_local))

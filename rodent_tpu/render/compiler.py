@@ -492,6 +492,19 @@ def packet_mode(device, limit_bytes=80 * 1024 * 1024):
     return "hybrid-giga"
 
 
+def select_packet(device, limit_bytes=80 * 1024 * 1024):
+    """The production traversal policy for THIS backend: packet_mode's
+    tier, demoted to the XLA dual-queue (False) when the tier needs
+    Mosaic but the backend is not a TPU. "dense" is pure XLA and valid
+    (and fastest) everywhere. One helper so the render/bench/view/gate
+    tools cannot drift apart in how they pick the engine."""
+    import jax
+    mode = packet_mode(device, limit_bytes=limit_bytes)
+    if mode == "dense":
+        return "dense"
+    return mode if jax.default_backend() == "tpu" else False
+
+
 def _mat_eq(a, b):
     return (a.ka == b.ka and a.kd == b.kd and a.ks == b.ks and a.ke == b.ke
             and a.ns == b.ns and a.ni == b.ni and a.tf == b.tf

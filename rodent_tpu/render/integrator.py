@@ -517,10 +517,10 @@ def render_debug(scene, camera, film, width, height, iteration,
 
 
 @partial(rjit, static_argnames=("camera", "width", "height", "spp",
-                                   "packet"),
+                                   "packet", "sort"),
          donate_argnames=("film",))
 def render_iteration(scene, camera, film, width, height, spp, iteration,
-                     packet=False):
+                     packet=False, sort=False):
     """One progressive iteration: spp wavefront passes accumulated into the
     film, weighted 1/spp so the film holds per-iteration means and the
     tonemapper divides by the iteration count alone, exactly like the
@@ -528,7 +528,7 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
     driver.cpp:145-162)."""
     def body(s, acc):
         return render_sample(scene, camera, acc, width, height, s,
-                             iteration, packet=packet)
+                             iteration, packet=packet, sort=sort)
     delta = jax.lax.fori_loop(0, spp, body, jnp.zeros_like(film))
     return film + delta * (1.0 / spp)
 

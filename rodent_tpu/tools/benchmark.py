@@ -234,7 +234,7 @@ def _render_one(args, sizes, scene_name, W, H, spp):
 
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_mesh, packet_mode
+    from ..render.compiler import compile_mesh, select_packet
     from ..render.integrator import render_iteration_persistent
     from ..utils import testscenes
 
@@ -244,9 +244,7 @@ def _render_one(args, sizes, scene_name, W, H, spp):
     eye, dirv, fov, emitter = _RENDER_CAMS[scene_name]
     scene = compile_mesh(verts, idx, max_path_len=args.mpl,
                          emitter=emitter)
-    mode = packet_mode(scene.device)
-    packet = (mode if (mode and jax.default_backend() == "tpu")
-              else False)
+    packet = select_packet(scene.device)
     # per-step pool re-sort: +32% on hall with the packet kernel
     # (experiments/measure_pool_sort.py), films bit-identical
     sort = bool(packet)

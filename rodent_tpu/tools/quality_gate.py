@@ -13,7 +13,7 @@ the estimator is confirmed unbiased against the reference's golden
 render (mean |diff| at 800 iters = 1.79/255).
 
 Usage:
-  python -m rodent_tpu.tools.quality_gate [--iters 50] [--threshold 100]
+  python -m rodent_tpu.tools.quality_gate [--iters 50] [--threshold MSE]
       [--scene OBJ] [--ref PNG] [-o out.png] [--cpu] [--fast]
 """
 from __future__ import annotations
@@ -34,12 +34,13 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--spp", type=int, default=4)
     # default derived from the measured convergence model
-    # MSE(N) = 337/N + 7.0: expected 13.7 at the 50-iter ctest config;
-    # 20 leaves ~45% headroom for seed-to-seed variance while still
-    # catching any estimator bias (a bias plateau sits well above it)
-    p.add_argument("--threshold", type=float, default=20.0,
-                   help="max allowed MSE on u8 values (expected "
-                        "337/iters + 7.0)")
+    # MSE(N) = 337/N + 7.0 with ~45% headroom for seed-to-seed variance
+    # (= 20 at the 50-iter ctest config) while still catching any
+    # estimator bias (a bias plateau sits well above it at every N)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="max allowed MSE on u8 values; default "
+                        "1.45 * (337/iters + 7.0) from the measured "
+                        "convergence model")
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--fast", action="store_true",
@@ -60,7 +61,7 @@ def main(argv=None):
     from ..io import png
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj, packet_mode, packet_ok
+    from ..render.compiler import compile_obj, select_packet
     from ..render.integrator import render_iteration_persistent
 
     ref = png.read_png(args.ref)[..., :3]
@@ -73,15 +74,13 @@ def main(argv=None):
         W, H = W0, H0
 
     scene = compile_obj(args.scene, max_path_len=64)
-    mode = packet_mode(scene.device)
-    if mode == "dense":  # small-scene brute force: pure XLA, any backend
-        packet = "dense"
-    else:
-        packet = packet_ok(scene.device) and jax.default_backend() == "tpu"
+    packet = select_packet(scene.device)
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
     film = film_mod.new_film(W, H)
     checkpoints = sorted(int(t) for t in args.checkpoints.split(",") if t)
     iters = max([args.iters] + checkpoints)
+    if args.threshold is None:
+        args.threshold = 1.45 * (337.0 / iters + 7.0)
     t0 = time.time()
     for it in range(iters):
         film = render_iteration_persistent(scene.device, cam, film, W, H,

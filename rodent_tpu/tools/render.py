@@ -69,22 +69,13 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj, packet_mode
+    from ..render.compiler import compile_obj, select_packet
     from ..render.integrator import render_iteration
     from ..io import png
 
     scene = compile_obj(args.scene, max_path_len=args.max_path_len)
-    import jax as _jax
     if args.traversal == "auto":
-        mode = packet_mode(scene.device)
-        if args.no_packet:
-            packet = False
-        elif mode == "dense":
-            # pure XLA — valid (and fastest) on every backend
-            packet = "dense"
-        else:
-            packet = (mode if (mode and _jax.default_backend() == "tpu")
-                      else False)
+        packet = False if args.no_packet else select_packet(scene.device)
     else:
         packet = {"tiled": False, "packet": True, "dense": "dense",
                   "hybrid": "hybrid", "hybrid-hbm": "hybrid-hbm",
@@ -104,14 +95,21 @@ def main(argv=None):
             scene.device, cam, f, args.width, args.height, i,
             packet=(packet is True))
     elif args.sharded:
-        from ..parallel import make_mesh, render_iteration_sharded
+        from ..parallel import (make_mesh, render_iteration_sharded,
+                                render_iteration_persistent_sharded)
         mesh = make_mesh()
-        step = lambda f, i: render_iteration_sharded(
-            scene.device, cam, f, args.width, args.height, args.spp, i, mesh)
+        if args.progressive:
+            step = lambda f, i: render_iteration_sharded(
+                scene.device, cam, f, args.width, args.height, args.spp, i,
+                mesh, packet=packet, sort=sort)
+        else:
+            step = lambda f, i: render_iteration_persistent_sharded(
+                scene.device, cam, f, args.width, args.height, args.spp, i,
+                mesh, packet=packet, sort=sort)
     elif args.progressive:
         step = lambda f, i: render_iteration(
             scene.device, cam, f, args.width, args.height, args.spp, i,
-            packet=packet)
+            packet=packet, sort=sort)
     else:
         # persistent regeneration pool: same film bit-for-bit (RNG seeds
         # depend only on sample/iter/pixel), ~4x the progressive

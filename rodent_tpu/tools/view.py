@@ -163,6 +163,13 @@ class _TtyKeys:
         keys = []
         while select.select([sys.stdin], [], [], 0)[0]:
             ch = sys.stdin.read(1)
+            if ch == "":
+                # EOF (pty master closed): select keeps reporting readable
+                # while read returns '' — translate to quit instead of
+                # spinning at 100% CPU
+                keys.append("q")
+                self.enabled = False
+                break
             if ch == "\x1b" and select.select([sys.stdin], [], [], 0)[0]:
                 seq = sys.stdin.read(1)
                 if seq == "[" and select.select([sys.stdin], [], [],
@@ -209,7 +216,7 @@ def main(argv=None):
     from ..io import png
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj, packet_mode
+    from ..render.compiler import compile_obj, select_packet
     from ..render.integrator import render_iteration_persistent
     from ..utils.compile import rjit
 
@@ -221,11 +228,7 @@ def main(argv=None):
         H = args.height or max(2 * (rows - 2), 2) & ~1
 
     scene = compile_obj(args.scene, max_path_len=args.max_path_len)
-    mode = packet_mode(scene.device)
-    if mode == "dense":  # pure XLA — valid on every backend
-        packet = "dense"
-    else:
-        packet = mode if (mode and jax.default_backend() == "tpu") else False
+    packet = select_packet(scene.device)
     rig = CameraRig(args.eye, args.dir, args.up)
     tspeed = 0.1
 

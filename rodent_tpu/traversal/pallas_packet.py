@@ -204,6 +204,128 @@ def _next_top(childs, peek):
     return nxt
 
 
+# ---- per-pop math shared by _kernel and _kernel_multi ----
+# Pure value-level functions (no refs): both kernel bodies trace the
+# SAME ops through these, so the tile math cannot drift between the
+# single-tile and multi-tile kernels (the control-flow/DMA structure
+# around them legitimately differs and stays per-kernel).
+
+def _slab_parts(rd, arity, pos, org, inv_d, tmin, t_cur, pure):
+    """Per-child slab tests of one node row against the whole tile.
+    Returns the per-child (1, 128) sublane-reduced min-entry keys
+    (+inf where no ray hits the child). pure=True uses the per-tile
+    scalar near/far select (the reference's ordered_bbox trick,
+    intersection.impala:194-202, lifted to tile granularity)."""
+    parts = []
+    for c in range(arity):
+        # (bound - org) * inv_dir: NaN-free for axis-aligned rays
+        # (see api._node_test)
+        if pure:
+            bs = [jnp.where(pos[k], rd((2 * k) * arity + c),
+                            rd((2 * k + 1) * arity + c))
+                  for k in range(3)]
+            bf = [jnp.where(pos[k], rd((2 * k + 1) * arity + c),
+                            rd((2 * k) * arity + c))
+                  for k in range(3)]
+            ent = jnp.maximum(
+                jnp.maximum((bs[0] - org[0]) * inv_d[0],
+                            (bs[1] - org[1]) * inv_d[1]),
+                jnp.maximum((bs[2] - org[2]) * inv_d[2], tmin))
+            ext = jnp.minimum(
+                jnp.minimum((bf[0] - org[0]) * inv_d[0],
+                            (bf[1] - org[1]) * inv_d[1]),
+                jnp.minimum((bf[2] - org[2]) * inv_d[2], t_cur))
+        else:
+            tx0 = (rd(0 * arity + c) - org[0]) * inv_d[0]
+            tx1 = (rd(1 * arity + c) - org[0]) * inv_d[0]
+            ty0 = (rd(2 * arity + c) - org[1]) * inv_d[1]
+            ty1 = (rd(3 * arity + c) - org[1]) * inv_d[1]
+            tz0 = (rd(4 * arity + c) - org[2]) * inv_d[2]
+            tz1 = (rd(5 * arity + c) - org[2]) * inv_d[2]
+            ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                          jnp.minimum(ty0, ty1)),
+                              jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+            ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
+        # sublane-only partial reduce (cheap); the expensive cross-lane
+        # phase is shared across all children in _finalize_children
+        parts.append(jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
+                             axis=0, keepdims=True))
+    return parts
+
+
+def _finalize_children(parts, childs, arity, sort):
+    """One cross-lane reduction for all `arity` children ((A, 128) ->
+    (A,) tile-min entry distances), invalid-child masking, and the
+    near-ordered sort network (sort=False for any-hit: order is
+    irrelevant once any hit terminates the ray)."""
+    keys8 = jnp.min(jnp.concatenate(parts, axis=0), axis=1)
+    keys = []
+    childs = list(childs)
+    for c in range(arity):
+        key = keys8[c]
+        valid = (childs[c] != 0) & (key < _F32_MAX)
+        keys.append(jnp.where(valid, key, _F32_MAX))
+        childs[c] = jnp.where(valid, childs[c], 0)
+    if sort:
+        _sort_children(keys, childs, arity)
+    return childs
+
+
+def _sort_children(keys, childs, arity):
+    """In-place branchless sort network over (key, child) scalars."""
+    for i, j in _SORT_NETWORKS[arity]:
+        swap = keys[i] > keys[j]
+        keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                            jnp.where(swap, keys[i], keys[j]))
+        childs[i], childs[j] = (jnp.where(swap, childs[j], childs[i]),
+                                jnp.where(swap, childs[i], childs[j]))
+
+
+def _mt_lanes(rd, rdi, m, org, dirv, tmin, t_test, carry):
+    """The tile-wide Möller–Trumbore loop over one Tri packet's m lanes:
+    sign-trick division deferral exactly as intersection.impala:164-192
+    (uu/vv/tt are compared in the det-scaled domain; one reciprocal per
+    accepted lane). Returns (carry', is_last) where is_last is the
+    sentinel sign bit of the final lane (Tri4 sentinel convention,
+    mapping_cpu.impala:3-10)."""
+    t_cur, u_b, v_b, p_b, g_b = carry
+    is_last = jnp.int32(0)
+    for lane in range(m):
+        v0 = [rd(k * m + lane) for k in range(3)]
+        e1 = [rd((3 + k) * m + lane) for k in range(3)]
+        e2 = [rd((6 + k) * m + lane) for k in range(3)]
+        nn = [rd((9 + k) * m + lane) for k in range(3)]
+        pid = rdi(12 * m + lane)
+        gid = rdi(13 * m + lane)
+        cx, cy, cz = v0[0] - org[0], v0[1] - org[1], v0[2] - org[2]
+        rx = dirv[1] * cz - dirv[2] * cy
+        ry = dirv[2] * cx - dirv[0] * cz
+        rz = dirv[0] * cy - dirv[1] * cx
+        det = nn[0] * dirv[0] + nn[1] * dirv[1] + nn[2] * dirv[2]
+        abs_det = jnp.abs(det)
+        sign = jnp.where(det < 0, jnp.float32(-1.0), jnp.float32(1.0))
+        uu = (rx * e2[0] + ry * e2[1] + rz * e2[2]) * sign
+        vv = (rx * e1[0] + ry * e1[1] + rz * e1[2]) * sign
+        tt = (cx * nn[0] + cy * nn[1] + cz * nn[2]) * sign
+        ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= abs_det)
+              & (abs_det != 0.0)
+              & (tt >= abs_det * tmin) & (tt <= abs_det * t_test)
+              & (pid != -1))
+        inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
+        tv = tt * inv_det
+        upd = ok & (tv < t_cur)
+        t_cur = jnp.where(upd, tv, t_cur)
+        u_b = jnp.where(upd, uu * inv_det, u_b)
+        v_b = jnp.where(upd, vv * inv_det, v_b)
+        p_b = jnp.where(upd, pid & 0x7FFFFFFF, p_b)
+        g_b = jnp.where(upd, gid, g_b)
+        if lane == m - 1:
+            is_last = pid < 0
+    return (t_cur, u_b, v_b, p_b, g_b), is_last
+
+
 def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
             *rest, arity, m, any_hit, stack_size,
@@ -351,13 +473,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             keys.append(jnp.where(valid, key, _F32_MAX))
             childs.append(jnp.where(valid, child, 0))
         if not any_hit and "nosort" not in ablate:
-            for i, j in _SORT_NETWORKS[arity]:
-                swap = keys[i] > keys[j]
-                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
-                                    jnp.where(swap, keys[i], keys[j]))
-                childs[i], childs[j] = (
-                    jnp.where(swap, childs[j], childs[i]),
-                    jnp.where(swap, childs[i], childs[j]))
+            _sort_children(keys, childs, arity)
         return childs
 
     def load_node_row(code):
@@ -387,64 +503,10 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             # tests — push every child unsorted (correct hits, inflated
             # pop count; ns/pop isolates the slab-test vector cost)
             return [rdi(6 * arity + c) for c in range(arity)]
-        parts = []
-        childs = []
-        for c in range(arity):
-            # (bound - org) * inv_dir: NaN-free for axis-aligned rays
-            # (see api._node_test)
-            if pure:
-                bs = [jnp.where(pos[k], rd((2 * k) * arity + c),
-                                rd((2 * k + 1) * arity + c))
-                      for k in range(3)]
-                bf = [jnp.where(pos[k], rd((2 * k + 1) * arity + c),
-                                rd((2 * k) * arity + c))
-                      for k in range(3)]
-                tnx = (bs[0] - org[0]) * inv_d[0]
-                tny = (bs[1] - org[1]) * inv_d[1]
-                tnz = (bs[2] - org[2]) * inv_d[2]
-                tfx = (bf[0] - org[0]) * inv_d[0]
-                tfy = (bf[1] - org[1]) * inv_d[1]
-                tfz = (bf[2] - org[2]) * inv_d[2]
-                ent = jnp.maximum(jnp.maximum(tnx, tny),
-                                  jnp.maximum(tnz, tmin))
-                ext = jnp.minimum(jnp.minimum(tfx, tfy),
-                                  jnp.minimum(tfz, t_cur))
-            else:
-                tx0 = (rd(0 * arity + c) - org[0]) * inv_d[0]
-                tx1 = (rd(1 * arity + c) - org[0]) * inv_d[0]
-                ty0 = (rd(2 * arity + c) - org[1]) * inv_d[1]
-                ty1 = (rd(3 * arity + c) - org[1]) * inv_d[1]
-                tz0 = (rd(4 * arity + c) - org[2]) * inv_d[2]
-                tz1 = (rd(5 * arity + c) - org[2]) * inv_d[2]
-                ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                              jnp.minimum(ty0, ty1)),
-                                  jnp.maximum(jnp.minimum(tz0, tz1), tmin))
-                ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                              jnp.maximum(ty0, ty1)),
-                                  jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
-            # sublane-only partial reduce (cheap); the expensive cross-lane
-            # phase is shared across all children below
-            parts.append(jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
-                                 axis=0, keepdims=True))
-            childs.append(rdi(6 * arity + c))
-        # one cross-lane reduction for all `arity` children: (A, 128) ->
-        # (A,) tile-min entry distances (+inf when no ray hits the child)
-        keys8 = jnp.min(jnp.concatenate(parts, axis=0), axis=1)
-        keys = []
-        for c in range(arity):
-            key = keys8[c]
-            valid = (childs[c] != 0) & (key < _F32_MAX)
-            keys.append(jnp.where(valid, key, _F32_MAX))
-            childs[c] = jnp.where(valid, childs[c], 0)
-
-        if not any_hit and "nosort" not in ablate:
-            for i, j in _SORT_NETWORKS[arity]:
-                swap = keys[i] > keys[j]
-                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
-                                    jnp.where(swap, keys[i], keys[j]))
-                childs[i], childs[j] = (
-                    jnp.where(swap, childs[j], childs[i]),
-                    jnp.where(swap, childs[i], childs[j]))
+        parts = _slab_parts(rd, arity, pos, org, inv_d, tmin, t_cur, pure)
+        childs = _finalize_children(
+            parts, [rdi(6 * arity + c) for c in range(arity)], arity,
+            sort=not any_hit and "nosort" not in ablate)
         if prefetch:
             # the next pop is now exactly known: start its row's DMA so
             # the HBM latency overlaps the scalar push work + next pop
@@ -468,38 +530,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 
         def rd(j):
             return row[0, j]
-        parts = []
-        for c in range(arity):
-            if pure:
-                bs = [jnp.where(pos[k], rd((2 * k) * arity + c),
-                                rd((2 * k + 1) * arity + c))
-                      for k in range(3)]
-                bf = [jnp.where(pos[k], rd((2 * k + 1) * arity + c),
-                                rd((2 * k) * arity + c))
-                      for k in range(3)]
-                ent = jnp.maximum(
-                    jnp.maximum((bs[0] - org[0]) * inv_d[0],
-                                (bs[1] - org[1]) * inv_d[1]),
-                    jnp.maximum((bs[2] - org[2]) * inv_d[2], tmin))
-                ext = jnp.minimum(
-                    jnp.minimum((bf[0] - org[0]) * inv_d[0],
-                                (bf[1] - org[1]) * inv_d[1]),
-                    jnp.minimum((bf[2] - org[2]) * inv_d[2], t_cur))
-            else:
-                tx0 = (rd(0 * arity + c) - org[0]) * inv_d[0]
-                tx1 = (rd(1 * arity + c) - org[0]) * inv_d[0]
-                ty0 = (rd(2 * arity + c) - org[1]) * inv_d[1]
-                ty1 = (rd(3 * arity + c) - org[1]) * inv_d[1]
-                tz0 = (rd(4 * arity + c) - org[2]) * inv_d[2]
-                tz1 = (rd(5 * arity + c) - org[2]) * inv_d[2]
-                ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                              jnp.minimum(ty0, ty1)),
-                                  jnp.maximum(jnp.minimum(tz0, tz1), tmin))
-                ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                              jnp.maximum(ty0, ty1)),
-                                  jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
-            parts.append(jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
-                                 axis=0, keepdims=True))
+        parts = _slab_parts(rd, arity, pos, org, inv_d, tmin, t_cur, pure)
         return jnp.concatenate(parts, axis=0), row_i
 
     def _leaf_one(code, carry, t_test=None, peek=None):
@@ -537,41 +568,11 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             cont_code = jnp.where(rdi(12 * m + m - 1) < 0, jnp.int32(0),
                                   code - 1)
             return carry, cont_code
-        is_last = jnp.int32(0)
-        for lane in range(m):
-            v0 = [rd(k * m + lane) for k in range(3)]
-            e1 = [rd((3 + k) * m + lane) for k in range(3)]
-            e2 = [rd((6 + k) * m + lane) for k in range(3)]
-            nn = [rd((9 + k) * m + lane) for k in range(3)]
-            pid = rdi(12 * m + lane)
-            gid = rdi(13 * m + lane)
-            cx, cy, cz = v0[0] - org[0], v0[1] - org[1], v0[2] - org[2]
-            rx = dirv[1] * cz - dirv[2] * cy
-            ry = dirv[2] * cx - dirv[0] * cz
-            rz = dirv[0] * cy - dirv[1] * cx
-            det = nn[0] * dirv[0] + nn[1] * dirv[1] + nn[2] * dirv[2]
-            abs_det = jnp.abs(det)
-            sign = jnp.where(det < 0, jnp.float32(-1.0), jnp.float32(1.0))
-            uu = (rx * e2[0] + ry * e2[1] + rz * e2[2]) * sign
-            vv = (rx * e1[0] + ry * e1[1] + rz * e1[2]) * sign
-            tt = (cx * nn[0] + cy * nn[1] + cz * nn[2]) * sign
-            ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= abs_det)
-                  & (abs_det != 0.0)
-                  & (tt >= abs_det * tmin) & (tt <= abs_det * t_test)
-                  & (pid != -1))
-            inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
-            tv = tt * inv_det
-            upd = ok & (tv < t_cur)
-            t_cur = jnp.where(upd, tv, t_cur)
-            u_b = jnp.where(upd, uu * inv_det, u_b)
-            v_b = jnp.where(upd, vv * inv_det, v_b)
-            p_b = jnp.where(upd, pid & 0x7FFFFFFF, p_b)
-            g_b = jnp.where(upd, gid, g_b)
-            if lane == m - 1:
-                is_last = pid < 0
+        carry, is_last = _mt_lanes(rd, rdi, m, org, dirv, tmin, t_test,
+                                   (t_cur, u_b, v_b, p_b, g_b))
         # continue multi-packet leaves: next packet's code is code-1
         cont_code = jnp.where(is_last, jnp.int32(0), code - 1)
-        return (t_cur, u_b, v_b, p_b, g_b), cont_code
+        return carry, cont_code
 
     def leaf_step(code, carry, t_test=None, peek=None):
         """Consumes up to leaf_chain consecutive Tri packets of one leaf
@@ -688,13 +689,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                     keys.append(jnp.where(ok, key, _F32_MAX))
                     childs.append(jnp.where(ok, child, 0))
                 if not any_hit and "nosort" not in ablate:
-                    for a, b in _SORT_NETWORKS[arity]:
-                        sw = keys[a] > keys[b]
-                        keys[a], keys[b] = (jnp.where(sw, keys[b], keys[a]),
-                                            jnp.where(sw, keys[a], keys[b]))
-                        childs[a], childs[b] = (
-                            jnp.where(sw, childs[b], childs[a]),
-                            jnp.where(sw, childs[a], childs[b]))
+                    _sort_children(keys, childs, arity)
                 childs[0] = jnp.where(code < 0, cont, childs[0])
                 all_pushes.append(tuple(childs))
             for pushes in reversed(all_pushes):
@@ -889,57 +884,11 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                 rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
             else:
                 rd, rdi = load_row(nodes_ref, code - 1, node_rpl)
-            parts = []
-            childs = []
-            for c in range(arity):
-                if pure:
-                    bs = [jnp.where(pos[k], rd((2 * k) * arity + c),
-                                    rd((2 * k + 1) * arity + c))
-                          for k in range(3)]
-                    bf = [jnp.where(pos[k], rd((2 * k + 1) * arity + c),
-                                    rd((2 * k) * arity + c))
-                          for k in range(3)]
-                    ent = jnp.maximum(
-                        jnp.maximum((bs[0] - org[0]) * inv_d[0],
-                                    (bs[1] - org[1]) * inv_d[1]),
-                        jnp.maximum((bs[2] - org[2]) * inv_d[2], tmin))
-                    ext = jnp.minimum(
-                        jnp.minimum((bf[0] - org[0]) * inv_d[0],
-                                    (bf[1] - org[1]) * inv_d[1]),
-                        jnp.minimum((bf[2] - org[2]) * inv_d[2], t_cur))
-                else:
-                    tx0 = (rd(0 * arity + c) - org[0]) * inv_d[0]
-                    tx1 = (rd(1 * arity + c) - org[0]) * inv_d[0]
-                    ty0 = (rd(2 * arity + c) - org[1]) * inv_d[1]
-                    ty1 = (rd(3 * arity + c) - org[1]) * inv_d[1]
-                    tz0 = (rd(4 * arity + c) - org[2]) * inv_d[2]
-                    tz1 = (rd(5 * arity + c) - org[2]) * inv_d[2]
-                    ent = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1),
-                                    jnp.minimum(ty0, ty1)),
-                        jnp.maximum(jnp.minimum(tz0, tz1), tmin))
-                    ext = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1),
-                                    jnp.maximum(ty0, ty1)),
-                        jnp.minimum(jnp.maximum(tz0, tz1), t_cur))
-                parts.append(jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
-                                     axis=0, keepdims=True))
-                childs.append(rdi(6 * arity + c))
-            keys8 = jnp.min(jnp.concatenate(parts, axis=0), axis=1)
-            keys = []
-            for c in range(arity):
-                key = keys8[c]
-                valid = (childs[c] != 0) & (key < _F32_MAX)
-                keys.append(jnp.where(valid, key, _F32_MAX))
-                childs[c] = jnp.where(valid, childs[c], 0)
-            if not any_hit:
-                for i, j in _SORT_NETWORKS[arity]:
-                    swap = keys[i] > keys[j]
-                    keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
-                                        jnp.where(swap, keys[i], keys[j]))
-                    childs[i], childs[j] = (
-                        jnp.where(swap, childs[j], childs[i]),
-                        jnp.where(swap, childs[i], childs[j]))
+            parts = _slab_parts(rd, arity, pos, org, inv_d, tmin, t_cur,
+                                pure)
+            childs = _finalize_children(
+                parts, [rdi(6 * arity + c) for c in range(arity)], arity,
+                sort=not any_hit)
             if prefetch:
                 pf_predict(_next_top(childs, peek))
             return childs
@@ -965,43 +914,10 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                 cont_e = jnp.where(rdi(12 * m + m - 1) < 0, jnp.int32(0),
                                    code - 1)
                 pf_predict(jnp.where(cont_e != 0, cont_e, peek))
-            is_last = jnp.int32(0)
-            for lane in range(m):
-                v0 = [rd(k * m + lane) for k in range(3)]
-                e1 = [rd((3 + k) * m + lane) for k in range(3)]
-                e2 = [rd((6 + k) * m + lane) for k in range(3)]
-                nn = [rd((9 + k) * m + lane) for k in range(3)]
-                pid = rdi(12 * m + lane)
-                gid = rdi(13 * m + lane)
-                cx = v0[0] - org[0]
-                cy = v0[1] - org[1]
-                cz = v0[2] - org[2]
-                rx = dirv[1] * cz - dirv[2] * cy
-                ry = dirv[2] * cx - dirv[0] * cz
-                rz = dirv[0] * cy - dirv[1] * cx
-                det = nn[0] * dirv[0] + nn[1] * dirv[1] + nn[2] * dirv[2]
-                abs_det = jnp.abs(det)
-                sign = jnp.where(det < 0, jnp.float32(-1.0),
-                                 jnp.float32(1.0))
-                uu = (rx * e2[0] + ry * e2[1] + rz * e2[2]) * sign
-                vv = (rx * e1[0] + ry * e1[1] + rz * e1[2]) * sign
-                tt = (cx * nn[0] + cy * nn[1] + cz * nn[2]) * sign
-                ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= abs_det)
-                      & (abs_det != 0.0)
-                      & (tt >= abs_det * tmin) & (tt <= abs_det * t_test)
-                      & (pid != -1))
-                inv_det = 1.0 / jnp.where(abs_det != 0.0, abs_det, 1.0)
-                tv = tt * inv_det
-                upd = ok & (tv < t_cur)
-                t_cur = jnp.where(upd, tv, t_cur)
-                u_b = jnp.where(upd, uu * inv_det, u_b)
-                v_b = jnp.where(upd, vv * inv_det, v_b)
-                p_b = jnp.where(upd, pid & 0x7FFFFFFF, p_b)
-                g_b = jnp.where(upd, gid, g_b)
-                if lane == m - 1:
-                    is_last = pid < 0
+            carry, is_last = _mt_lanes(rd, rdi, m, org, dirv, tmin, t_test,
+                                       (t_cur, u_b, v_b, p_b, g_b))
             cont_code = jnp.where(is_last, jnp.int32(0), code - 1)
-            return (t_cur, u_b, v_b, p_b, g_b), cont_code
+            return carry, cont_code
 
         def leaf_step(code, carry, t_test, peek):
             carry, cont = _leaf_one(code, carry, t_test, peek)
@@ -1232,6 +1148,12 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         # giga-scene mode supports the production body only
         assert not (frustum or scalar_reads or pops > 1 or count_pops), \
             "nodes_hbm supports the production kernel body only"
+    # diagnostic options (pop counters, ablations, frustum tests, scalar
+    # loads, pops>1) exist in the single-tile body only — demote multi so
+    # they are honored instead of silently dropped (callers pad nt to a
+    # multiple of multi, which stays valid for multi=1)
+    if count_pops or ablate or frustum or scalar_reads or pops > 1:
+        multi = 1
     # next-pop prefetch applies to the HBM modes' production body only
     prefetch = bool(prefetch and (tris_hbm or nodes_hbm) and pops == 1
                     and not count_pops and not ablate and not frustum
@@ -1261,7 +1183,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     # prefetch double-buffers the DMA landing lines (2 rows per table)
     buf_rows = 2 if prefetch else 1
     if multi > 1:
-        assert nt % multi == 0 and not count_pops
+        assert nt % multi == 0
         kern = functools.partial(
             _kernel_multi, arity=arity, m=m, any_hit=any_hit,
             stack_size=stack_size, tile_rows=tile_rows, n_way=multi,
