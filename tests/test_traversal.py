@@ -309,6 +309,25 @@ def test_packet_kernel_multi_matches_api():
     np.testing.assert_array_equal(wa, ga)
 
 
+def test_packet_kernel_diagnostics_demote_multi():
+    """Diagnostic options exist only in the single-tile kernel body; under
+    the default multi=2 they must be honored (by demoting to multi=1),
+    never silently dropped: an ablated run must actually ablate and a
+    counted run must return pop counts."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8, packet=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(256, seed=49)
+    base = np.asarray(traverse_packet(dev, rays, multi=2,
+                                      tile_rows=2)["prim_id"])
+    assert (base >= 0).any()
+    abl = np.asarray(traverse_packet(dev, rays, multi=2, tile_rows=2,
+                                     ablate=("noleaftest",))["prim_id"])
+    # noleaftest skips every triangle test: nothing can hit
+    assert not (abl >= 0).any()
+
+
 def test_packet_kernel_tris_hbm_matches_api():
     """The big-scene mode (triangle table in HBM, one DMA per leaf pop)
     must agree exactly with api.traverse — same walk, different triangle
