@@ -91,6 +91,54 @@ def test_render_tool_bench_output(tmp_path):
     assert img.mean() > 5
 
 
+def test_render_tool_sort_and_sharded_paths(tmp_path):
+    """--sort must reach every loop variant (it was silently ignored under
+    --progressive/--sharded), and all three loop variants must produce the
+    bit-identical film (RNG seeds depend only on sample/iter/pixel)."""
+    common = (f"{REF}/cornell_box.obj", "--width", 48, "--height", 32,
+              "--eye", 0, 1, 2.7, "--dir", 0, 0, -1, "--bench", 1,
+              "--spp", 1, "--max-path-len", 4, "--cpu")
+    a = tmp_path / "prog.png"
+    run_tool("render", *common, "--progressive", "--sort", "on", "-o", a)
+    b = tmp_path / "shard.png"
+    run_tool("render", *common, "--sharded", "--sort", "on", "-o", b)
+    c = tmp_path / "shard_prog.png"
+    run_tool("render", *common, "--sharded", "--progressive", "--sort",
+             "on", "-o", c)
+    ia, ib, ic = (png.read_png(p) for p in (a, b, c))
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(ib, ic)
+
+
+def test_select_packet_tiers():
+    """select_packet = packet_mode's tier, demoted to the XLA dual-queue
+    off-TPU (except "dense", which is pure XLA). Table sizes are faked
+    with broadcast views (packet_mode only reads .size/.shape)."""
+    from rodent_tpu.render.compiler import packet_mode, select_packet
+
+    def fake(tri_rows, nodes_elems, tris_elems):
+        z = np.zeros(1, np.float32)
+        return {"bvh": {
+            "nodes": np.broadcast_to(z, (nodes_elems,)),
+            "tris": np.broadcast_to(z, (tri_rows, tris_elems // tri_rows)),
+        }}
+
+    mb = 1024 * 1024 // 4  # f32 elements per MB
+    dense = fake(4, 10 * mb, 4 * 112)
+    hybrid = fake(1000, 10 * mb, 10 * mb)
+    hbm = fake(1000, 10 * mb, 100 * mb)
+    giga = fake(1000, 100 * mb, 100 * mb)
+    assert packet_mode(dense) == "dense"
+    assert packet_mode(hybrid) == "hybrid"
+    assert packet_mode(hbm) == "hybrid-hbm"
+    assert packet_mode(giga) == "hybrid-giga"
+    # forced-CPU suite: every Mosaic tier demotes to the dual-queue
+    assert select_packet(dense) == "dense"
+    assert select_packet(hybrid) is False
+    assert select_packet(hbm) is False
+    assert select_packet(giga) is False
+
+
 def test_checkpoint_resume(tmp_path):
     from rodent_tpu.utils.checkpoint import (
         build_bvh_cached, load_render_checkpoint, save_render_checkpoint)
