@@ -36,8 +36,10 @@ CASES = [(), ("nonodetest",), ("noleaftest",),
 if len(sys.argv) > 1:
     CASES = [tuple(x.split(",")) if x else () for x in sys.argv[1:]]
 for ab in CASES:
+    # multi=1 everywhere: ablations only exist in the single-tile body
+    # (ablated rows would demote anyway; the baseline must match)
     fn = jax.jit(lambda r, ab=ab: pp.traverse_packet(
-        dev, r, tile_rows=32, ablate=ab))
+        dev, r, tile_rows=32, multi=1, ablate=ab))
     out = fn(rays)
     jax.block_until_ready(out["t"])
     t0 = time.perf_counter()

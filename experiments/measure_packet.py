@@ -80,6 +80,11 @@ def main():
 
     rows_list = [int(r) for r in args.rows.split(",")]
     multi_list = [int(mm) for mm in args.multi.split(",")]
+    if args.frustum and multi_list != [1]:
+        # frustum lives in the single-tile body only; _call_kernel would
+        # demote every multi>1 row to 1 and the multi column would lie
+        print("# --frustum forces multi=1 (single-tile body only)")
+        multi_list = [1]
     print(f"{'dist':>8} {'rows':>5} {'multi':>5} {'Mrays/s':>8} "
           f"{'pops/tile':>10} {'max':>6} {'ns/pop':>8} "
           f"{'pops/ray-equiv':>14}")
