@@ -45,6 +45,12 @@ def main(argv=None):
                    help="full-width progressive wavefront instead of the "
                         "persistent 32K regeneration pool (films are "
                         "bit-identical; persistent is ~4x faster)")
+    p.add_argument("--profile", action="store_true",
+                   help="per-stage wall-time report at exit (the "
+                        "reference's cpu_profile percentages, "
+                        "mapping_cpu.impala:453-472; on TPU one "
+                        "iteration is a single fused program, so the "
+                        "stages are compile/render/tonemap/io)")
     p.add_argument("--sort", choices=("auto", "on", "off", "pool"),
                    default="auto",
                    help="re-sort the wavefront every bounce before "
@@ -119,13 +125,19 @@ def main(argv=None):
             scene.device, cam, f, args.width, args.height, args.spp, i,
             packet=packet, sort=sort)
 
+    from ..utils.profiling import StageProfiler
+    prof = StageProfiler(enabled=args.profile, unit="Msamples")
+
     samples_per_iter = args.width * args.height * args.spp
     times = []
     for it in range(args.bench):
         t0 = time.perf_counter()
         film = step(film, it)
         jax.block_until_ready(film)
-        times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        prof.add("compile+render" if it == 0 else "render", dt)
+        prof.add_rays(samples_per_iter)
 
     # skip the compile iteration in stats when we have more than one
     stats = times[1:] if len(times) > 1 else times
@@ -134,9 +146,15 @@ def main(argv=None):
         msamples[0], msamples[len(msamples) // 2], msamples[-1]))
 
     if args.output:
+        t0 = time.perf_counter()
         img = film_mod.tonemap(film, args.width, args.height, args.bench)
+        prof.add("tonemap", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         png.write_png(args.output, img)
+        prof.add("io", time.perf_counter() - t0)
         print(f"wrote {args.output}")
+    if args.profile:
+        print(prof.report())
     return 0
 
 

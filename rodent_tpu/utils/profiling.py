@@ -22,8 +22,9 @@ class StageProfiler:
     cpu_profiling_enabled static).
     """
 
-    def __init__(self, enabled=True):
+    def __init__(self, enabled=True, unit="Mrays"):
         self.enabled = enabled
+        self.unit = unit  # label for the throughput line (Mrays/Msamples)
         self.times = defaultdict(float)
         self.counts = defaultdict(int)
         self.rays = 0
@@ -43,6 +44,13 @@ class StageProfiler:
         self.times[name] += time.perf_counter() - t0
         self.counts[name] += 1
 
+    def add(self, name, seconds):
+        """Record an externally-timed stage (e.g. a loop that already
+        blocks on device completion for its own throughput stats)."""
+        if self.enabled:
+            self.times[name] += seconds
+            self.counts[name] += 1
+
     def add_rays(self, n):
         if self.enabled:
             self.rays += int(n)
@@ -58,5 +66,5 @@ class StageProfiler:
                          f"{self.counts[name]} calls")
         if self.rays and total > 0:
             lines.append(f"total: {total * 1e3:.1f} ms, "
-                         f"{self.rays * 1e-6 / total:.2f} Mrays/s")
+                         f"{self.rays * 1e-6 / total:.2f} {self.unit}/s")
         return "\n".join(lines)

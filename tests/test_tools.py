@@ -84,8 +84,11 @@ def test_render_tool_bench_output(tmp_path):
     out = run_tool("render", f"{REF}/cornell_box.obj", "--width", 48,
                    "--height", 32, "--eye", 0, 1, 2.7, "--dir", 0, 0, -1,
                    "--bench", 2, "--spp", 1, "--max-path-len", 4,
-                   "-o", out_png, "--cpu")
+                   "-o", out_png, "--cpu", "--profile")
     assert "(min/med/max Msamples/s)" in out
+    # --profile: the cpu_profile exit report (stage ms + percentages)
+    assert "compile+render" in out and "tonemap" in out
+    assert "Msamples/s" in out.splitlines()[-1]
     img = png.read_png(out_png)
     assert img.shape == (32, 48, 3)
     assert img.mean() > 5
