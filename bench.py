@@ -40,7 +40,6 @@ def main():
     from rodent_tpu.accel import build_bvh
     from rodent_tpu.traversal.api import bvh_to_device, make_rays
     from rodent_tpu.traversal.pallas_packet import traverse_packet
-    from rodent_tpu.traversal.tiled import traverse_tiled
     from rodent_tpu.traversal.sorting import sort_rays
     from rodent_tpu.utils.compile import rjit
     from rodent_tpu.utils.testscenes import (hall_primary_rays, make_hall,

@@ -12,7 +12,7 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.math import FLT_MAX, normalize, vec3
+from ..core.math import normalize, vec3
 
 
 @dataclass(frozen=True)

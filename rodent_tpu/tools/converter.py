@@ -34,7 +34,6 @@ from ..accel import build_bvh
 from ..io import formats
 from ..render import compiler as scene_compiler
 from ..render import light as light_mod
-from ..io import obj as obj_io
 
 
 def _pad_vec3(a, pad):

@@ -37,7 +37,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .primitives import empty_hit
 
 STACK_DEPTH = 32
 _NEG0 = jnp.int32(-2147483648)
