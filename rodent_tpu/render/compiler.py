@@ -298,9 +298,12 @@ def compile_mesh(verts, indices, arity=8, max_path_len=64,
                      [cx + hx, y, cz + hz], [cx - hx, y, cz + hz]],
                     np.float32)
     v0 = len(verts)
-    # winding: normal points down (-y) toward the scene
-    panel = np.asarray([[v0 + 0, v0 + 2, v0 + 1, n_mats],
-                        [v0 + 0, v0 + 3, v0 + 2, n_mats]], np.int32)
+    # winding: normal points down (-y) toward the scene — corners run
+    # (-hx,-hz),(+hx,-hz),(+hx,+hz),(-hx,+hz), so cross(v1-v0, v2-v0)
+    # of [0,1,2]/[0,2,3] is -y (the [0,2,1]/[0,3,2] winding pointed +y,
+    # leaving only dim indirect light via the ceiling)
+    panel = np.asarray([[v0 + 0, v0 + 1, v0 + 2, n_mats],
+                        [v0 + 0, v0 + 2, v0 + 3, n_mats]], np.int32)
     verts = np.concatenate([verts, pv])
     idx4 = np.concatenate([idx4, panel])
 
@@ -326,8 +329,10 @@ def compile_mesh(verts, indices, arity=8, max_path_len=64,
 
     # ---- materials: palette diffuse + the emitter ----
     if emitter_power is None:
-        # scale radiance with scene area so renders land in a sane
-        # exposure range regardless of scene units
+        # fixed default radiance: the NEE geometry term scales with the
+        # panel area (which tracks the scene bbox via emitter_frac), so a
+        # constant lands all three benchmark scenes in a usable exposure
+        # range; pass emitter_power explicitly to retune a scene
         emitter_power = 8.0
     mats = []
     for i in range(n_mats):
@@ -455,12 +460,15 @@ def load_data_dir(data_dir):
         tex_images = [tx.load_texture(os.path.join(data_dir, "textures", n))
                       for n in tex_files]
 
+    # same `or 1` floor as compile_obj: a lightless scene keeps the dummy
+    # black light so pick_uniform's modulo never divides by zero
+    num_lights = program["num_lights"] or 1
     device = _build_device(mesh, mat_params, lights, light_ids, bvh,
-                           program["max_path_len"], program["num_lights"],
+                           program["max_path_len"], num_lights,
                            tex_images)
     return CompiledScene(device=device, mesh=mesh, materials=names,
                          mat_params=mat_params,
-                         num_lights=program["num_lights"],
+                         num_lights=num_lights,
                          tex_files=tex_files)
 
 

@@ -51,14 +51,9 @@ OFFSET = 1e-3  # shadow/bounce epsilon (renderer.impala:64)
 FLT_MAX = jnp.float32(3.402823466e38)
 
 
-def _safe_rcp(x):
-    """common.impala:82-85 semantics, componentwise."""
-    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
-    maxi = jax.lax.bitcast_convert_type(jnp.float32(3.402823466e38),
-                                        jnp.int32)
-    big = jax.lax.bitcast_convert_type(
-        (xi & jnp.int32(-2147483648)) | maxi, jnp.float32)
-    return jnp.where(jnp.abs(x) < 1e-8, big, 1.0 / x)
+# common.impala:82-85 semantics, componentwise (bit-identical to the
+# hand-rolled bitcast form: FLT_MAX's sign bit is 0, so OR == XOR)
+from ..core.math import safe_rcp as _safe_rcp  # noqa: E402
 
 
 def make_rays_c(org, dirv, tmin, tmax):
@@ -205,7 +200,7 @@ def surface_element(scene, rays, hit):
     }
 
 
-_SELECT_CHAIN_MAX = 32
+_SELECT_CHAIN_MAX = SELECT_CHAIN_ROWS  # one tuned threshold (core.tiles)
 
 
 def gather_material(scene, mat_id):
@@ -608,8 +603,11 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
                                    pix)
         return org, d, rnd, pix
 
-    sample_id = tile(jnp.arange(pool, dtype=jnp.int32), r)
-    # padding slots hold ids >= pool; treat them as already-consumed
+    # arange over all r*128 slots so the padding slots (when pool is not
+    # a multiple of 128) hold ids >= pool and are born dead — tile()'s
+    # zero padding would mark them live and trace sample 0's path as
+    # pure waste every iteration
+    sample_id = jnp.arange(r * 128, dtype=jnp.int32).reshape(r, 128)
     next_free = jnp.int32(pool)
     org, d, rnd, pix = emit_rays(sample_id)
     live = sample_id < jnp.minimum(total, pool)

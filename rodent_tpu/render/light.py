@@ -25,7 +25,7 @@ from ..core import vmath as vm
 from ..core.rng import randf, randi
 
 POINT, TRIANGLE = 0, 1
-_SELECT_CHAIN_MAX = 32
+from ..core.tiles import SELECT_CHAIN_ROWS as _SELECT_CHAIN_MAX  # noqa: E402,E501 - one tuned threshold (core.tiles documents the measurement)
 
 
 def build_light_table(mesh, materials_ke, light_tri_mask, ke_tex=None):
@@ -51,6 +51,13 @@ def build_light_table(mesh, materials_ke, light_tri_mask, ke_tex=None):
         v2 = mesh.vertices[i2]
         n = np.cross(v1 - v0, v2 - v0)
         ln = np.linalg.norm(n)
+        if ln <= 0.0 or not np.isfinite(ln):
+            # degenerate emissive triangle (common in real OBJ exports):
+            # zero area = zero power, and 1/ln would put NaN normals /
+            # inf pdfs into the light table (NaN reaches the film via
+            # the MIS weight of paths hitting the light). It can never
+            # be hit either (MT rejects det == 0), so skip it entirely.
+            continue
         inv_area = 1.0 / (0.5 * ln)
         light_ids[t] = len(v0s)
         v0s.append(v0)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .tiled import _SORT_NETWORKS
+from .api import _SORT_NETWORKS
 
 TILE_ROWS = 16           # rays per tile = TILE_ROWS * 128
 # measured on the hall-260K primary workload (1M cone-sorted rays, v5e,

@@ -38,32 +38,15 @@ import jax
 import jax.numpy as jnp
 
 
-STACK_DEPTH = 32
 _NEG0 = jnp.int32(-2147483648)
 
-_SORT_NETWORKS = {
-    2: [(0, 1)],
-    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
-    8: [(0, 1), (2, 3), (4, 5), (6, 7),
-        (0, 2), (1, 3), (4, 6), (5, 7),
-        (1, 2), (5, 6),
-        (0, 4), (1, 5), (2, 6), (3, 7),
-        (2, 4), (3, 5),
-        (1, 2), (3, 4), (5, 6)],
-}
-
-
-def _pad_to_tiles(x, r128):
-    b = x.shape[0]
-    pad = r128 * 128 - b
-    if pad == 0:
-        return x
-    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-
-
-def _tile(x, r128):
-    """(B,) -> (R, 128)."""
-    return _pad_to_tiles(x, r128).reshape(r128, 128)
+# single source for the Batcher networks: api.py (the two engines are
+# cross-checked oracles of each other, so their comparator tables must
+# be the same object, not a copy)
+from .api import _SORT_NETWORKS  # noqa: E402
+# (B,) -> (R, 128) zero-padding lives in core.tiles; keep the local
+# alias for the call sites here and in dense.py
+from ..core.tiles import tile as _tile  # noqa: E402
 
 
 NODE_STACK_DEPTH = 24
