@@ -132,14 +132,14 @@ def main():
                           jnp.zeros(bn, jnp.float32),
                           jnp.full(bn, 3.402823466e38, jnp.float32))
         brays, _ = sort_rays(brays, bverts.min(0), bverts.max(0))
-        # multi=1: the hbm mode's DMA-overlap win from multi-tile is not
-        # yet measured on device; rows=32 x single is the recorded config.
-        # The exact next-pop DMA prefetch (round 3) is on by default;
-        # fall back to the blocking transport if Mosaic rejects it on
-        # this jaxlib (first on-device run happens in the driver).
+        # kernel defaults (rows=16 x multi=2 + exact next-pop prefetch):
+        # measured 14.65 Mrays/s vs 6.3 for the old pinned rows=32 x
+        # multi=1 config (results_tpu_r3.txt prefetch A/B). Fall back to
+        # the blocking transport if Mosaic rejects the prefetch DMA on
+        # the driver's jaxlib.
         for pf in (True, False):
             bfn = rjit(lambda d, r, pf=pf: traverse_packet(
-                d, r, tile_rows=32, tris_hbm=True, multi=1, prefetch=pf))
+                d, r, tris_hbm=True, prefetch=pf))
             try:
                 bhit = bfn(bdev, brays)
                 _ = np.asarray(bhit["t"][:128])
@@ -172,22 +172,26 @@ def main():
     iters, spp = 50, 4
     scene = compile_obj("/root/reference/testing/cornell_box.obj",
                         max_path_len=64)
-    # cornell is 32 tris = 4 Tri8 packets: the dense small-scene engine
-    # (brute-force, no BVH walk) replaces two packet-kernel invocations
-    # per wavefront step with ~1.6K fused vector ops
+    # engine A/B on the chip (results_tpu_r3.txt): packet kernel 10.7
+    # Msamples/s vs dense 5.5 vs tiled 2.9 on the persistent step, and
+    # deferred retirement (retire_every=2) lifts packet to 13.3;
+    # select_packet promotes dense scenes to the packet kernel on TPU
     packet = select_packet(scene.device)
+    retire = 2 if packet is True else 1
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
     film = film_mod.new_film(W0, H0)
     # compile pass (iteration 0), then timed passes
     film = render_iteration_persistent(scene.device, cam, film, W0, H0,
-                                       spp, 0, packet=packet)
+                                       spp, 0, packet=packet,
+                                       retire_every=retire)
     # tiny host fetches bracket the timed loop: block_until_ready returns
     # early on some remote XLA programs (ROADMAP round-2 session-3)
     _ = np.asarray(film[:1])
     t0 = time.perf_counter()
     for it in range(1, iters):
         film = render_iteration_persistent(scene.device, cam, film, W0, H0,
-                                           spp, it, packet=packet)
+                                           spp, it, packet=packet,
+                                           retire_every=retire)
     _ = np.asarray(film[:1])
     dt = time.perf_counter() - t0
     img = film_mod.tonemap(film, W0, H0, iters)

@@ -503,14 +503,18 @@ def packet_mode(device, limit_bytes=80 * 1024 * 1024):
 def select_packet(device, limit_bytes=80 * 1024 * 1024):
     """The production traversal policy for THIS backend: packet_mode's
     tier, demoted to the XLA dual-queue (False) when the tier needs
-    Mosaic but the backend is not a TPU. "dense" is pure XLA and valid
-    (and fastest) everywhere. One helper so the render/bench/view/gate
-    tools cannot drift apart in how they pick the engine."""
+    Mosaic but the backend is not a TPU. "dense" is pure XLA and the
+    fastest small-scene engine on CPU hosts, but the Pallas packet
+    kernel beats it ~2x ON the chip (cornell persistent step: packet
+    10.7 vs dense 5.5 Msamples/s, results_tpu_r3.txt engine A/B), so a
+    TPU backend promotes dense scenes to the packet kernel. One helper
+    so the render/bench/view/gate tools cannot drift apart in how they
+    pick the engine."""
     import jax
     mode = packet_mode(device, limit_bytes=limit_bytes)
-    if mode == "dense":
-        return "dense"
-    return mode if jax.default_backend() == "tpu" else False
+    if jax.default_backend() != "tpu":
+        return "dense" if mode == "dense" else False
+    return True if mode == "dense" else mode
 
 
 def _mat_eq(a, b):
