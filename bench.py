@@ -20,16 +20,24 @@ import time
 import numpy as np
 
 
-def _bench_traversal(fn, rays, n, iters=5):
+def _bench_traversal(fn, rays, n, iters=5, blocks=5):
+    """Median of `blocks` independent timed blocks of `iters` calls each
+    (bench_traversal.cpp:336-391 reports avg/median/min over iterations;
+    single-block timing sat inside the chip's measured +-8% run-to-run
+    band and made round-over-round deltas uninterpretable). Returns
+    (median, min, max, last_hit) in Mrays/s."""
     import jax
     hit = fn(rays)
     jax.block_until_ready(hit["t"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        hit = fn(rays)
-    jax.block_until_ready(hit["t"])
-    dt = time.perf_counter() - t0
-    return n * iters / dt / 1e6, hit
+    samples = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            hit = fn(rays)
+        jax.block_until_ready(hit["t"])
+        samples.append(n * iters / (time.perf_counter() - t0) / 1e6)
+    samples.sort()
+    return (samples[len(samples) // 2], samples[0], samples[-1], hit)
 
 
 def main():
@@ -64,8 +72,10 @@ def main():
     # shared-stack union divergence
     prim_sorted, _ = sort_rays(prim, verts.min(0), verts.max(0))
     fn_packet = rjit(lambda r: traverse_packet(dev, r))
-    mrays_primary, hit = _bench_traversal(fn_packet, prim_sorted, n)
+    mrays_primary, p_lo, p_hi, hit = _bench_traversal(fn_packet,
+                                                      prim_sorted, n)
     detail["primary_mrays"] = round(mrays_primary, 2)
+    detail["primary_band"] = [round(p_lo, 2), round(p_hi, 2)]
     detail["primary_hit_fraction"] = round(float(jnp.mean(
         (hit["prim_id"] >= 0).astype(jnp.float32))), 4)
 
@@ -103,12 +113,15 @@ def main():
                     dev, r, any_hit=ah, compact_stages=5))):
             try:
                 fn2 = rjit(lambda r, ah=any_hit, e=eng: e(r, ah))
-                mrays2, _h = _bench_traversal(fn2, rays2, n, iters=3)
+                mrays2, lo2, hi2, _h = _bench_traversal(fn2, rays2, n,
+                                                        iters=2, blocks=3)
             except Exception as e:  # keep the driver-run bench alive
                 print(f"# {kind}/{eng_name} failed "
                       f"({type(e).__name__})", file=sys.stderr)
                 continue
             detail[f"{kind}_{eng_name}_mrays"] = round(mrays2, 2)
+            detail[f"{kind}_{eng_name}_band"] = [round(lo2, 2),
+                                                 round(hi2, 2)]
             if mrays2 > best:
                 best, best_eng = mrays2, eng_name
         detail[f"{kind}_mrays"] = round(best, 2)
@@ -133,29 +146,35 @@ def main():
                           jnp.full(bn, 3.402823466e38, jnp.float32))
         brays, _ = sort_rays(brays, bverts.min(0), bverts.max(0))
         # kernel defaults (rows=16 x multi=2 + exact next-pop prefetch):
-        # measured 14.65 Mrays/s vs 6.3 for the old pinned rows=32 x
-        # multi=1 config (results_tpu_r3.txt prefetch A/B). Fall back to
-        # the blocking transport if Mosaic rejects the prefetch DMA on
-        # the driver's jaxlib.
+        # 14.65 Mrays/s with prefetch vs 13.12 blocking on powerplant-2M
+        # (results_tpu_r3.txt prefetch A/B). Fall back to the blocking
+        # transport if Mosaic rejects the prefetch DMA on the driver's
+        # jaxlib — and RECORD which transport ran (BENCH_r03's 7.47 vs
+        # the sweep's 14.65 was unexplainable because it didn't).
         for pf in (True, False):
             bfn = rjit(lambda d, r, pf=pf: traverse_packet(
                 d, r, tris_hbm=True, prefetch=pf))
             try:
                 bhit = bfn(bdev, brays)
                 _ = np.asarray(bhit["t"][:128])
+                detail["bigscene_transport"] = ("prefetch" if pf
+                                                else "blocking")
                 break
             except Exception as e:  # pragma: no cover - device-specific
                 if not pf:
                     raise
                 print(f"# prefetch lowering failed ({type(e).__name__}); "
                       f"falling back", file=sys.stderr)
-        t0 = time.perf_counter()
+        bs = []
         for _ in range(3):
+            t0 = time.perf_counter()
             bhit = bfn(bdev, brays)
-        _ = np.asarray(bhit["t"][:128])
+            _ = np.asarray(bhit["t"][:128])
+            bs.append(bn / (time.perf_counter() - t0) / 1e6)
+        bs.sort()
         detail["bigscene_tris"] = len(bidx) // 4
-        detail["bigscene_mrays"] = round(
-            bn * 3 / (time.perf_counter() - t0) / 1e6, 2)
+        detail["bigscene_mrays"] = round(bs[len(bs) // 2], 2)
+        detail["bigscene_band"] = [round(bs[0], 2), round(bs[-1], 2)]
         del bdev, bhit, brays
 
     # ---- cornell quality gate + renderer throughput ----

@@ -5,6 +5,7 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=benchmarks/results_tpu_r3.txt
+echo "# --- rerun $(date +%F_%T) ---" >> "$OUT"
 {
   echo "# rodent_tpu round-3 sweep ($(date -u +%F)) — v5e single chip"
   echo "# traversal: scene x distribution x variant (median of N, Mrays/s)"
@@ -28,4 +29,4 @@ OUT=benchmarks/results_tpu_r3.txt
   # sweep still leaves them in the table
   timeout 2400 python -u experiments/measure_packet.py \
       --rows 8,16,32 --multi 1,2,3,4 --dists ao,primary
-} 2>&1 | grep -v WARNING | tee "$OUT"
+} 2>&1 | grep -v WARNING | tee -a "$OUT"

@@ -4,6 +4,7 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=benchmarks/results_tpu_r3.txt
+echo "# --- rerun $(date +%F_%T) ---" >> "$OUT"
 {
   echo "# rodent_tpu round-3 sweep ($(date -u +%F)) — v5e single chip"
   echo
@@ -30,4 +31,4 @@ OUT=benchmarks/results_tpu_r3.txt
   echo "## packet kernel rows x multi sweep (hall)"
   timeout 1800 python -u experiments/measure_packet.py \
       --rows 8,16,32 --multi 1,2,4 --dists primary,ao
-} 2>&1 | grep -v WARNING | tee "$OUT"
+} 2>&1 | grep -v WARNING | tee -a "$OUT"

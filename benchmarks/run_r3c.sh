@@ -4,6 +4,7 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=benchmarks/results_tpu_r3.txt
+echo "# --- rerun $(date +%F_%T) ---" >> "$OUT"
 {
   echo
   echo "## cornell packet-engine refinement A/B"

@@ -4,14 +4,14 @@
 BENCH_r03 cornell dipped 6.41 -> 5.58 Msamples/s after packet_mode began
 returning "dense" for <=16-packet scenes (round-3 session 8) — the dense
 engine was never timed on the chip (tunnel was down). This times one
-persistent iteration per engine at the bench config and, if dense loses,
-tells us to gate the dense tier by backend or packet count.
+persistent iteration per engine (dense / tiled / packet, plus the
+packet-kernel refinements) at the bench config; if dense loses, it says
+to gate the dense tier by backend or packet count.
 """
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
@@ -35,7 +35,9 @@ def main():
     total = W0 * H0 * spp
     print(f"cornell {W0}x{H0} spp{spp} backend={jax.default_backend()}")
 
-    variants = [("packet", dict(packet=True)),
+    variants = [("dense", dict(packet="dense")),
+                ("tiled", dict(packet=False)),
+                ("packet", dict(packet=True)),
                 ("packet+retire2", dict(packet=True, retire_every=2)),
                 ("packet pool16K", dict(packet=True, pool=1 << 14)),
                 ("packet pool64K", dict(packet=True, pool=1 << 16)),

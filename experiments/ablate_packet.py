@@ -31,6 +31,7 @@ prim = make_rays(jnp.asarray(org), jnp.asarray(dirs),
 rays, _ = sort_rays(prim, verts.min(0), verts.max(0))
 
 import sys
+sys.path.insert(0, "/root/repo")
 CASES = [(), ("nonodetest",), ("noleaftest",),
          ("nonodetest", "noleaftest")]
 if len(sys.argv) > 1:

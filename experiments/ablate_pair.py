@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Per-pop cost bisection of the pair kernel via ablations (results are
 WRONG for most ablations; timing only)."""
+import sys
+sys.path.insert(0, "/root/repo")
 import time
 import numpy as np
 

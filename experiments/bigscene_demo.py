@@ -18,6 +18,8 @@ Real multi-chip hardware is not reachable from this host (one v5e chip
 behind a tunnel); the mesh run is the honest stand-in the driver also
 validates via __graft_entry__.dryrun_multichip.
 """
+import sys
+sys.path.insert(0, "/root/repo")
 import argparse
 import time
 

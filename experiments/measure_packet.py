@@ -9,6 +9,8 @@ fully-random bbox rays, not these).
 
 Usage: python experiments/measure_packet.py [--tris 260000] [--rows 8,16,32,64]
 """
+import sys
+sys.path.insert(0, "/root/repo")
 import argparse
 import time
 

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
 """Pair kernel (v3) vs packet kernel (v2) on the hall workloads."""
+import sys
+sys.path.insert(0, "/root/repo")
 import argparse
 import time
 

@@ -5,6 +5,8 @@ The octant+origin-Morton key gives ~2000 pops per 2048-ray tile on
 bounce rays (the union is the whole tree). Candidate keys add direction
 bits so a tile is a narrow cone from a compact origin region.
 """
+import sys
+sys.path.insert(0, "/root/repo")
 import argparse
 import time
 

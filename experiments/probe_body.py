@@ -14,6 +14,7 @@ Features, composable:
 import functools
 import itertools
 import sys
+sys.path.insert(0, "/root/repo")
 import time
 
 import jax

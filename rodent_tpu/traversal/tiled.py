@@ -52,6 +52,18 @@ from ..core.tiles import tile as _tile  # noqa: E402
 NODE_STACK_DEPTH = 24
 LEAF_STACK_DEPTH = 16
 
+# Row-gather strategy for tables past the fast-gather cliff (>~28K rows /
+# >~11 MB; ROADMAP round-3 study). "plain" = one slow gather; "shard-rows"
+# = core.tiles-style sub-table gathers + select on the (B, C) rows (2.16x
+# in isolation, 20% slower composed — the select broke gather->transpose
+# fusion); "shard-cmaj" = per-shard gather + transpose to (C, R, 128)
+# THEN select, preserving each shard's own fusion. Module-level so
+# experiments/probe_tri_gather.py can A/B the composed loop; the
+# production default is set from that measurement.
+_LEAF_GATHER = "plain"
+_CLIFF_ROWS = 28672
+_SHARD_ROWS = 22528
+
 
 def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
                 debug_counters=False):
@@ -76,15 +88,38 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
     zero = jnp.zeros((R, 128), jnp.int32)
 
     def gather_cols(table, idx):
-        """Flat row gather + relayout to component-major (C, R, 128)."""
-        # NOTE: core.tiles.gather_rows (row-sharded) wins 2.16x on hall's
-        # 43K-row Tri8 table in isolation but measured 20% SLOWER composed
-        # into this loop body (the shard-select materializes (B, C)
-        # intermediates that break XLA's gather->transpose fusion), so the
-        # loop keeps plain gathers and attacks the cost by gating how
-        # often the leaf unit fires instead.
-        rows = table[idx.reshape(R * 128)]                # (B', C)
-        return rows.T.reshape(table.shape[1], R, 128)
+        """Flat row gather + relayout to component-major (C, R, 128),
+        routed by _LEAF_GATHER for tables past the fast-gather cliff."""
+        n, c = table.shape
+        mode = _LEAF_GATHER if n > _CLIFF_ROWS else "plain"
+        nsh = -(-n // _SHARD_ROWS)
+        if mode == "plain" or not 2 <= nsh <= 3:
+            rows = table[idx.reshape(R * 128)]            # (B', C)
+            return rows.T.reshape(c, R, 128)
+        s = -(-n // nsh)
+        idx_flat = idx.reshape(R * 128)
+        if mode == "shard-rows":
+            # (B, C)-select form (core.tiles.gather_rows inline so the
+            # shard count matches nsh exactly)
+            out = None
+            for i in range(nsh):
+                hi = min((i + 1) * s, n)
+                loc = jnp.clip(idx_flat - i * s, 0, hi - i * s - 1)
+                g = table[i * s:hi][loc]
+                out = g if out is None else jnp.where(
+                    (idx_flat >= i * s)[:, None], g, out)
+            return out.T.reshape(c, R, 128)
+        # shard-cmaj: per-shard gather keeps its own gather->transpose
+        # fusion; the select runs on component-major full-tile arrays
+        out = None
+        for i in range(nsh):
+            hi = min((i + 1) * s, n)
+            loc = jnp.clip(idx_flat - i * s, 0, hi - i * s - 1)
+            g = table[i * s:hi][loc]
+            comp = g.T.reshape(c, R, 128)
+            out = comp if out is None else jnp.where(
+                (idx >= i * s)[None], comp, out)
+        return out
 
     def pop(stack_list, ptr, can):
         top = ptr - 1
