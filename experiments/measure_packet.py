@@ -93,12 +93,17 @@ def main():
     for name, (rays, any_hit) in dists.items():
         for rows in rows_list:
           for mw in multi_list:
-            fn = jax.jit(lambda r, ah=any_hit, tr=rows, mm=mw:
-                         pp.traverse_packet(dev, r, any_hit=ah,
-                                            tile_rows=tr, multi=mm,
-                                            frustum=args.frustum))
-            out = fn(rays)
-            jax.block_until_ready(out["t"])
+            try:
+                fn = jax.jit(lambda r, ah=any_hit, tr=rows, mm=mw:
+                             pp.traverse_packet(dev, r, any_hit=ah,
+                                                tile_rows=tr, multi=mm,
+                                                frustum=args.frustum))
+                out = fn(rays)
+                jax.block_until_ready(out["t"])
+            except Exception as e:  # narrow tiles may not lower
+                print(f"{name:>8} {rows:>5} {mw:>5} FAILED "
+                      f"({type(e).__name__}: {str(e)[:80]})", flush=True)
+                continue
             iters = 3
             t0 = time.perf_counter()
             for _ in range(iters):

@@ -46,7 +46,6 @@ def timed(fn, *args, iters=20, inner=1):
 def part_cliff():
     import jax
     import jax.numpy as jnp
-    B = 1 << 20
     key = jax.random.PRNGKey(0)
     print(f"{'rows':>8} {'cols':>5} {'MB':>7} {'ns/row':>7}")
     # hold bytes near 19.3 MB (hall Tri8) and near 9.7 MB (half) while
@@ -54,7 +53,12 @@ def part_cliff():
     for rows, cols in [(43256, 112), (21628, 112), (21628, 224),
                        (10814, 448), (10814, 224), (24000, 112),
                        (28000, 112), (32768, 112), (16384, 112),
-                       (5407, 448), (43256, 56), (86512, 56)]:
+                       (5407, 448), (43256, 56), (86512, 56),
+                       (131072, 112), (262144, 112), (1048576, 16)]:
+        # scale the batch so the 8 unrolled (B, cols) gather temps stay
+        # under ~2 GB total (the 448-col configs OOM'd at B=1M: XLA keeps
+        # all 8 remat'd gather outputs live)
+        B = min(1 << 20, (1 << 26) // cols)
         tbl = jax.random.normal(key, (rows, cols), jnp.float32)
         idx = jax.random.randint(key, (B,), 0, rows, jnp.int32)
 

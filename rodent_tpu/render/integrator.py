@@ -292,12 +292,23 @@ def _splat_planar(planes, pixel, color, mask):
 
 
 def _shade(scene, rays, hit, state, packet=False, sort=False,
-           compact=0):
+           compact=0, shadow_packet=None, shadow_compact=None):
     """One shading stage: on_hit accumulation, NEE shadow rays, bounce
     sampling. Radiance accumulates into the per-slot register state["acc"]
     (splatted to the film only when the path retires — film scatter-adds
     measured ~13 ms each on v5e, so per-bounce splats dominated the whole
-    renderer). Returns (next_rays, next_state)."""
+    renderer). Returns (next_rays, next_state).
+
+    shadow_packet/shadow_compact override the traversal engine for the
+    NEE shadow rays only (the persistent renderer's per-distribution
+    policy — the reference's hybrid kernel switch,
+    mapping_cpu.impala:267-324, at wavefront granularity): shadow rays
+    converge on the lights, so they stay coherent even when the pool's
+    bounce rays have diverged."""
+    if shadow_packet is None:
+        shadow_packet = packet
+    if shadow_compact is None:
+        shadow_compact = compact
     alive = state["alive"] & (hit["prim_id"] >= 0)
     surf = surface_element(scene, rays, hit)
     mat = gather_material(scene, surf["mat_id"])
@@ -365,7 +376,8 @@ def _shade(scene, rays, hit, state, packet=False, sort=False,
     shadow_rays = make_rays_c(surf["point"], light_vec, off,
                               jnp.where(nee_ok, 1.0 - OFFSET, -1.0))
     shadow_hit = _traverse(scene, shadow_rays, any_hit=True,
-                           packet=packet, sort=sort, compact=compact)
+                           packet=shadow_packet, sort=sort,
+                           compact=shadow_compact)
     add_shadow = nee_ok & (shadow_hit["prim_id"] < 0)
     acc = vm.add(acc, vm.where(add_shadow, shadow_color, zero3))
 
@@ -530,13 +542,16 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
 
 @partial(rjit, static_argnames=("camera", "width", "height", "spp",
                                    "pool", "packet", "n_pixels", "sort",
-                                   "compact", "retire_every"),
+                                   "compact", "retire_every",
+                                   "bounce_packet", "shadow_packet",
+                                   "depth_split"),
          donate_argnames=("film",))
 def render_iteration_persistent(scene, camera, film, width, height, spp,
                                 iteration, pool=None, packet=False,
                                 pixel_lo=0, n_pixels=None, sample_lo=0,
                                 spp_weight=None, sort=False, compact=0,
-                                retire_every=1):
+                                retire_every=1, bounce_packet=None,
+                                shadow_packet=None, depth_split=False):
     """Persistent-wavefront iteration: the TPU form of the reference's
     megakernel regeneration trick (gpu_mega_kernel_trace,
     src/render/mapping_gpu.impala:371-474 — dead paths immediately pull
@@ -575,13 +590,37 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     replaces two argsorts + 11 permutes + 5 hit scatters per step, and
     BOTH the bounce and the NEE shadow traversals then see coherent
     tiles for free. Slot identity carries the sample, so films are
-    bit-identical to sort=False/True."""
+    bit-identical to sort=False/True.
+
+    Per-distribution engine routing (round 4, VERDICT item 1 — the
+    reference's hybrid kernel switch applied to the persistent pool):
+    - bounce_packet (default None = packet): engine for the pool's main
+      traversal. Set to False (+ compact) to run the mixed-depth bounce
+      rays on the per-ray-independent dual-queue loop while shadow rays
+      stay on the packet kernel.
+    - shadow_packet (default None = packet): engine for the NEE shadow
+      traversal. Shadow rays converge on the lights and stay coherent,
+      so the packet kernel keeps winning them after bounces diverge.
+    - depth_split=True additionally peels depth-0 camera rays out of the
+      main traversal onto the `packet` engine (two masked traversals per
+      step, merged by depth; the pool-sort key gets a depth-0 MSB so
+      each engine sees its rays as contiguous tiles and the other
+      engine's tiles retire dead). Films are bit-identical across
+      policies: the BVH engines are exact-parity and routing changes
+      which kernel serves a ray, never the estimator.
+    """
     # the hybrid policies are wavefront-level (depth-0 peel) and don't
     # apply to a mixed-depth pool; map them to their full-packet flavor
     # ("hybrid-hbm" MUST keep the Tri-DMA mode — its Tri table exceeds
     # VMEM)
     packet = {"hybrid": True, "hybrid-hbm": "hbm",
               "hybrid-giga": "giga"}.get(packet, packet)
+    if bounce_packet is None:
+        bounce_packet = packet
+    if shadow_packet is None:
+        shadow_packet = packet
+    # depth_split with identical engines is just the plain call twice
+    depth_split = depth_split and bounce_packet != packet
     n_pixels = n_pixels or width * height
     total = n_pixels * spp
     weight = spp_weight if spp_weight is not None else (1.0 / spp)
@@ -691,6 +730,13 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
                 tuple(x.reshape(-1) for x in rays["org"]),
                 tuple(x.reshape(-1) for x in rays["dir"]),
                 scene["scene_lo"], scene["scene_hi"])
+            if depth_split:
+                # depth-0 camera rays sort before bounce rays so each
+                # engine of the split traversal sees its class as
+                # contiguous tiles (key>>1 keeps cone order inside each)
+                keys = (keys >> 1) | jnp.where(
+                    (state["depth"] == 0).reshape(-1), jnp.uint32(0),
+                    jnp.uint32(0x80000000))
             keys = jnp.where(state["alive"].reshape(-1), keys,
                              jnp.uint32(0xFFFFFFFF))
             perm = jnp.argsort(keys)
@@ -718,10 +764,26 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     def body(c):
         rays, state, film = c["rays"], c["state"], c["film"]
         next_free = c["next_free"]
-        hit = _traverse(scene, rays, packet=packet, sort=call_sort,
-                        compact=compact)
+        if depth_split:
+            # two masked traversals merged by depth: depth-0 camera rays
+            # on `packet`, bounce depths on `bounce_packet`. Masked-off
+            # rays are dead (tmax = -1): the packet kernel retires dead
+            # tiles in ~1 pop and the dual-queue skips dead rays, so the
+            # overlap cost is near zero once the pool-sort groups each
+            # class into its own tiles.
+            d0 = state["depth"] == 0
+            r0 = dict(rays, tmax=jnp.where(d0, rays["tmax"], -1.0))
+            rb = dict(rays, tmax=jnp.where(d0, -1.0, rays["tmax"]))
+            h0 = _traverse(scene, r0, packet=packet, sort=call_sort)
+            hb = _traverse(scene, rb, packet=bounce_packet,
+                           sort=call_sort, compact=compact)
+            hit = {k: jnp.where(d0, h0[k], hb[k]) for k in h0}
+        else:
+            hit = _traverse(scene, rays, packet=bounce_packet,
+                            sort=call_sort, compact=compact)
         rays, state = _shade(scene, rays, hit, state, packet=packet,
-                             sort=call_sort, compact=compact)
+                             sort=call_sort, compact=compact,
+                             shadow_packet=shadow_packet)
 
         step = c["step"]
         if retire_every == 1:

@@ -52,14 +52,19 @@ from ..core.tiles import tile as _tile  # noqa: E402
 NODE_STACK_DEPTH = 24
 LEAF_STACK_DEPTH = 16
 
-# Row-gather strategy for tables past the fast-gather cliff (>~28K rows /
-# >~11 MB; ROADMAP round-3 study). "plain" = one slow gather; "shard-rows"
-# = core.tiles-style sub-table gathers + select on the (B, C) rows (2.16x
-# in isolation, 20% slower composed — the select broke gather->transpose
-# fusion); "shard-cmaj" = per-shard gather + transpose to (C, R, 128)
-# THEN select, preserving each shard's own fusion. Module-level so
-# experiments/probe_tri_gather.py can A/B the composed loop; the
-# production default is set from that measurement.
+# Row-gather strategy for tables past the round-3 fast-gather cliff
+# (>~28K rows; ROADMAP round-3 study measured 10.4 vs 2.5 ns/row there).
+# MEASURED round 4 (experiments/probe_tri_gather.py, on-device): the
+# cliff is GONE on the current jaxlib/libtpu — plain row gathers run
+# 3.8-4.1 ns/row up to 131K rows at any of the probed table sizes (the
+# next cliff is at ~256K rows / row-width-bound for >=224-col rows), and
+# BOTH shard modes lose outright (isolated: plain 5.5 vs shard2 9.2-9.5
+# ns/row; composed into this loop on hall ao/bounces: plain 4.83/4.67 vs
+# shard-rows 4.08/3.83, shard-cmaj 4.01/3.74 Mrays/s). "plain" is the
+# production default by measurement; the shard modes stay as probe hooks
+# ("shard-rows" = sub-table gathers + select on (B, C) rows,
+# "shard-cmaj" = per-shard gather + transpose to (C, R, 128) then
+# select) so a future platform regression can be re-probed in one run.
 _LEAF_GATHER = "plain"
 _CLIFF_ROWS = 28672
 _SHARD_ROWS = 22528

@@ -216,3 +216,34 @@ def test_pool_sort_film_bit_identical(cornell):
     base = run(False)
     np.testing.assert_array_equal(run("pool"), base)
     np.testing.assert_array_equal(run("pool", k=3), base)
+
+
+def test_engine_routing_film_identical(cornell):
+    """Round-4 per-distribution engine routing (VERDICT item 1): routing
+    bounce rays to the dual-queue loop, shadow rays to a different
+    engine, or splitting depth-0 rays onto the packet kernel changes
+    which (exact-parity) kernel serves a ray, never the estimator — all
+    policies must produce the SAME film, including with pool-sort
+    (whose key gains a depth-0 MSB under depth_split) and deferred
+    retirement. On TPU films are bit-identical across policies
+    (measured, experiments/ab_render_policy.py); on CPU the
+    interpret-mode packet kernel differs from the compiled dual-queue
+    loop by FMA-contraction ULPs in t/u/v (the dense-engine caveat), so
+    this test allows ULP-level tolerance."""
+    from rodent_tpu.render.integrator import render_iteration_persistent
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 24, 16)
+
+    def run(**kw):
+        return np.asarray(render_iteration_persistent(
+            cornell.device, cam, film_mod.new_film(24, 16), 24, 16, 2, 0,
+            pool=200, **kw))
+
+    base = run(packet=True)
+    for kw in (dict(packet=True, bounce_packet=False, compact=2),
+               dict(packet=True, shadow_packet=False),
+               dict(packet=True, bounce_packet=False, compact=2,
+                    depth_split=True, sort="pool"),
+               dict(packet=True, bounce_packet=False, shadow_packet=False,
+                    compact=2, depth_split=True, sort="pool",
+                    retire_every=2)):
+        np.testing.assert_allclose(run(**kw), base, rtol=2e-6, atol=2e-7)
