@@ -544,14 +544,15 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
                                    "pool", "packet", "n_pixels", "sort",
                                    "compact", "retire_every",
                                    "bounce_packet", "shadow_packet",
-                                   "depth_split"),
+                                   "depth_split", "return_steps"),
          donate_argnames=("film",))
 def render_iteration_persistent(scene, camera, film, width, height, spp,
                                 iteration, pool=None, packet=False,
                                 pixel_lo=0, n_pixels=None, sample_lo=0,
                                 spp_weight=None, sort=False, compact=0,
                                 retire_every=1, bounce_packet=None,
-                                shadow_packet=None, depth_split=False):
+                                shadow_packet=None, depth_split=False,
+                                return_steps=False):
     """Persistent-wavefront iteration: the TPU form of the reference's
     megakernel regeneration trick (gpu_mega_kernel_trace,
     src/render/mapping_gpu.impala:371-474 — dead paths immediately pull
@@ -787,6 +788,8 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
 
         step = c["step"]
         if retire_every == 1:
+            if return_steps:
+                step = step + 1
             rays, state, film, next_free, real = retire(
                 (rays, state, film, next_free, c["real"]))
         else:
@@ -812,4 +815,9 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
     fidx = fstate["pixel"] - pixel_lo if local_film else fstate["pixel"]
     planes = _splat_planar(out["film"], fidx,
                            vm.scale(fstate["acc"], weight), out["real"])
-    return jnp.stack(planes, axis=-1)
+    film = jnp.stack(planes, axis=-1)
+    if return_steps:
+        # wavefront step count of this iteration (multi-chip accounting:
+        # per-shard step counts measure load balance — parallel.accounting)
+        return film, out["step"]
+    return film

@@ -114,3 +114,77 @@ def test_traverse_sharded_matches_single(cornell):
                                   np.asarray(sharded["t"]))
     np.testing.assert_array_equal(np.asarray(single["prim_id"]),
                                   np.asarray(sharded["prim_id"]))
+
+
+def test_shard_accounting_and_collective_volume(cornell):
+    """Round-4 VERDICT item 6: per-shard step counts, padding waste, and
+    collective bytes for the sharded renderer — measured/asserted on the
+    virtual mesh. (a) measured per-strip wavefront step counts stay
+    balanced on the cornell image (the psum barriers once per iteration,
+    so max/mean is the real slowdown factor); (b) padded-strip waste is
+    bounded by (n_px - 1)/total; (c) the compiled sharded step contains
+    exactly the expected all-reduce: one (local, 3) f32 psum over "sp"
+    when n_sp > 1 and none when n_sp == 1."""
+    from rodent_tpu.parallel.accounting import (measure_shard_steps,
+                                                shard_plan)
+    from rodent_tpu.render.camera import Camera as Cam
+    W, H, spp = 50, 34, 2
+    cam = Cam.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
+
+    plan8 = shard_plan(W, H, spp, n_px=8)
+    assert plan8["padded_pixels"] < 8
+    assert plan8["collective_bytes_per_device"] == 0   # no sp axis
+    plan42 = shard_plan(W, H, spp, n_px=4, n_sp=2)
+    # ring all-reduce of the (425, 3) f32 local film over 2 sp ranks
+    assert plan42["collective_bytes_per_device"] == 425 * 3 * 4
+
+    steps = measure_shard_steps(cornell.device, cam, W, H, spp,
+                                n_px=8, pool=512)
+    assert steps.shape == (1, 8)
+    assert steps.max() <= steps.mean() * 1.5   # balanced strips
+
+    # (c) HLO-level collective check on the actual sharded program
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rodent_tpu.parallel.mesh import make_mesh, shard_scene
+    from rodent_tpu.render.integrator import render_iteration_persistent
+
+    for n_sp, expect_ar in ((1, 0), (2, 1)):
+        mesh = make_mesh(n_px=4, n_sp=n_sp)
+        local = plan42["pixels_local"]
+        total_pad = local * 4
+        film = jnp.zeros((total_pad, 3), jnp.float32)
+        film = jax.device_put(film, NamedSharding(mesh, P("px")))
+        scene = shard_scene(cornell.device, mesh)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("px")),
+                 out_specs=P("px"), check_vma=False)
+        def step(scene_local, film_local):
+            px = jax.lax.axis_index("px")
+            sp = jax.lax.axis_index("sp")
+            delta = render_iteration_persistent(
+                scene_local, cam, jnp.zeros_like(film_local), W, H,
+                spp // n_sp, 0, pool=512, pixel_lo=px * local,
+                n_pixels=local, sample_lo=sp * (spp // n_sp),
+                spp_weight=1.0 / spp)
+            return film_local + jax.lax.psum(delta, "sp")
+
+        txt = jax.jit(step).lower(scene, film).compile().as_text()
+        ar_lines = [ln for ln in txt.splitlines() if "all-reduce" in ln
+                    and "replica_groups" in ln]
+        if expect_ar == 0:
+            # a degenerate psum over a 1-member axis may survive as an
+            # all-reduce with SINGLETON replica groups — zero cross-
+            # device traffic; anything grouping >1 device is a bug
+            for ln in ar_lines:
+                groups = ln.split("replica_groups={")[1].split("}}")[0]
+                assert "," not in groups.split("},{")[0], (
+                    f"cross-device collective at n_sp=1: {ln[:160]}")
+        else:
+            assert ar_lines, "psum over sp missing from the HLO"
+            # the psum'd operand is the (local, 3) partial film and the
+            # groups pair up the sp ranks
+            assert any(f"f32[{local},3]" in ln for ln in ar_lines)
+            assert any("," in ln.split("replica_groups={")[1]
+                       .split("},{")[0] for ln in ar_lines)
