@@ -71,7 +71,12 @@ def main():
     # octant+Morton ordering: coherent tiles cut the packet kernel's
     # shared-stack union divergence
     prim_sorted, _ = sort_rays(prim, verts.min(0), verts.max(0))
-    fn_packet = rjit(lambda r: traverse_packet(dev, r))
+    # rows=32 x multi=1: the round-4 interleaved A/B winner on primary
+    # (63.4 vs 60.2 for the 16x2 default; ab_primary_config,
+    # results_tpu_r4.txt). ao/bounces below keep the 16x2 default (their
+    # measured winner in the same harness).
+    fn_packet = rjit(lambda r: traverse_packet(dev, r, tile_rows=32,
+                                               multi=1))
     mrays_primary, p_lo, p_hi, hit = _bench_traversal(fn_packet,
                                                       prim_sorted, n)
     detail["primary_mrays"] = round(mrays_primary, 2)
@@ -181,7 +186,8 @@ def main():
     from rodent_tpu.io import png
     from rodent_tpu.render import film as film_mod
     from rodent_tpu.render.camera import Camera
-    from rodent_tpu.render.compiler import compile_obj, select_packet
+    from rodent_tpu.render.compiler import (compile_obj,
+                                            select_render_policy)
     from rodent_tpu.render.integrator import render_iteration_persistent
 
     ref = png.read_png("/root/reference/testing/ref-cornell.png")[..., :3]
@@ -191,26 +197,23 @@ def main():
     iters, spp = 50, 4
     scene = compile_obj("/root/reference/testing/cornell_box.obj",
                         max_path_len=64)
-    # engine A/B on the chip (results_tpu_r3.txt): packet kernel 10.7
-    # Msamples/s vs dense 5.5 vs tiled 2.9 on the persistent step, and
-    # deferred retirement (retire_every=2) lifts packet to 13.3;
-    # select_packet promotes dense scenes to the packet kernel on TPU
-    packet = select_packet(scene.device)
-    retire = 2 if packet is True else 1
+    # engine policy by measurement (select_render_policy): cornell's
+    # dense tier keeps the packet kernel + deferred retirement (13.3 vs
+    # 10.7 Msamples/s, results_tpu_r3.txt); bigger scenes route all pool
+    # traversals to tiled-c (round-4 A/B)
+    policy = select_render_policy(scene.device)
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
     film = film_mod.new_film(W0, H0)
     # compile pass (iteration 0), then timed passes
     film = render_iteration_persistent(scene.device, cam, film, W0, H0,
-                                       spp, 0, packet=packet,
-                                       retire_every=retire)
+                                       spp, 0, **policy)
     # tiny host fetches bracket the timed loop: block_until_ready returns
     # early on some remote XLA programs (ROADMAP round-2 session-3)
     _ = np.asarray(film[:1])
     t0 = time.perf_counter()
     for it in range(1, iters):
         film = render_iteration_persistent(scene.device, cam, film, W0, H0,
-                                           spp, it, packet=packet,
-                                           retire_every=retire)
+                                           spp, it, **policy)
     _ = np.asarray(film[:1])
     dt = time.perf_counter() - t0
     img = film_mod.tonemap(film, W0, H0, iters)

@@ -29,7 +29,7 @@ def _half_area(lo, hi):
 
 
 def _native_build(vertices, indices, arity, packet, leaf_threshold,
-                  quality):
+                  quality, leaf_cost):
     from .. import native
     if not native.available():
         return None
@@ -42,7 +42,8 @@ def _native_build(vertices, indices, arity, packet, leaf_threshold,
             [indices[:, :3],
              np.zeros((len(indices), 1), np.int32)], axis=1)
     out = native.bvh_build(vertices, idx4, arity=arity, packet=packet,
-                           leaf_threshold=leaf_threshold, quality=quality)
+                           leaf_threshold=leaf_threshold, quality=quality,
+                           leaf_cost=leaf_cost)
     if out is None:
         return None
     bounds, child, tv0, te1, te2, tn, pid, gid = out
@@ -179,7 +180,7 @@ C_LEAF = 1.2   # cost of one leaf-packet pop (heavier lane math, measured)
 MAX_LEAF_PACKETS = 8
 
 
-def _collapse_wide_dp(bin_bvh, arity, packet):
+def _collapse_wide_dp(bin_bvh, arity, packet, leaf_cost=C_LEAF):
     """Slot-constrained DP collapse (the Ylitie-et-al.-2017 'optimal wide
     BVH' formulation) under the packet kernel's cost model: every pop
     costs ~the same whether it tests 8 child boxes or one 8-triangle
@@ -220,7 +221,7 @@ def _collapse_wide_dp(bin_bvh, arity, packet):
 
     resolved = is_leaf.copy()
     cnt_leaf = np.where(is_leaf, bin_bvh.count[:n], 0)
-    cl = area * C_LEAF * np.ceil(cnt_leaf / packet)
+    cl = area * leaf_cost * np.ceil(cnt_leaf / packet)
     C[is_leaf, 1:] = cl[is_leaf, None]
     as_leaf[is_leaf] = True
 
@@ -241,12 +242,12 @@ def _collapse_wide_dp(bin_bvh, arity, packet):
             bj = np.argmin(cand, axis=0)
             D[ri, i] = cand[bj, np.arange(len(ri))]
             dj[ri, i] = (bj + 1).astype(np.int8)
-        leaf_cost = np.where(
+        leaf_c = np.where(
             cnt <= MAX_LEAF_PACKETS * packet,
-            area[ri] * C_LEAF * np.ceil(cnt / packet), INFC)
+            area[ri] * leaf_cost * np.ceil(cnt / packet), INFC)
         node_cost = area[ri] * C_NODE + D[ri, A]
-        C[ri, 1] = np.minimum(leaf_cost, node_cost)
-        as_leaf[ri] = leaf_cost <= node_cost
+        C[ri, 1] = np.minimum(leaf_c, node_cost)
+        as_leaf[ri] = leaf_c <= node_cost
         for i in range(2, A + 1):
             C[ri, i] = np.minimum(C[ri, i - 1], D[ri, i])
         resolved[ri] = True
@@ -369,7 +370,7 @@ def _collapse_wide(bin_bvh, arity):
 
 
 def build_bvh(vertices, indices, arity=8, packet=4, leaf_threshold=4,
-              use_native=True, quality=1):
+              use_native=True, quality=1, leaf_cost=0.0):
     """Builds a WideBvh from a triangle soup.
 
     vertices: (V, 3) f32; indices: flat i32, 4 per tri (v0, v1, v2, mat) —
@@ -379,13 +380,17 @@ def build_bvh(vertices, indices, arity=8, packet=4, leaf_threshold=4,
     native one is tested against. quality=1 (default) builds an SBVH
     (sweep SAH + spatial splits + unsplitting, the reference
     SplitBvhBuilder tier, src/driver/bvh.h:102-539); quality=0 is the
-    faster binned-SAH build for huge scenes.
+    faster binned-SAH build for huge scenes. leaf_cost > 0 overrides the
+    DP collapse's C_LEAF ratio (leaf-packet pop vs node pop): the default
+    1.2 fits the VMEM-resident packet kernel; tris_hbm builds should pass
+    ~3-4 (a leaf pop there also pays a ~1-2 us HBM DMA), trading node
+    pops for fewer, smaller-area leaf packets.
     """
     vertices = np.asarray(vertices, np.float32)
     indices = np.asarray(indices, np.int32)
     if use_native:
         out = _native_build(vertices, indices, arity, packet,
-                            leaf_threshold, quality)
+                            leaf_threshold, quality, leaf_cost)
         if out is not None:
             return out
     if indices.ndim == 1:
@@ -421,7 +426,9 @@ def build_bvh(vertices, indices, arity=8, packet=4, leaf_threshold=4,
         nodes_children = [[("leaf", 0, int(bin_bvh.count[0]), 0)]]
         links = {}
     else:
-        nodes_children, links = _collapse_wide_dp(bin_bvh, arity, packet)
+        nodes_children, links = _collapse_wide_dp(
+            bin_bvh, arity, packet,
+            leaf_cost if leaf_cost > 0 else C_LEAF)
 
     num_nodes = len(nodes_children)
     bounds = np.empty((num_nodes, 6, arity), np.float32)

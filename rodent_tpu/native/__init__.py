@@ -53,6 +53,11 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int]
+    lib.rt_bvh_build2.restype = ctypes.c_void_p
+    lib.rt_bvh_build2.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float]
     lib.rt_bvh_num_nodes.restype = ctypes.c_int64
     lib.rt_bvh_num_nodes.argtypes = [ctypes.c_void_p]
     lib.rt_bvh_num_packets.restype = ctypes.c_int64
@@ -110,21 +115,25 @@ def lz4_decompress(data: bytes, uncompressed_size: int) -> bytes:
 
 
 def bvh_build(vertices, indices4, arity=8, packet=4, leaf_threshold=4,
-              quality=1):
+              quality=1, leaf_cost=0.0):
     """Native BVH build: quality=1 -> SBVH (sweep SAH + spatial splits +
     unsplitting, the reference SplitBvhBuilder tier); quality=0 -> fast
-    binned SAH. Returns the same arrays as the Python builder (see
-    accel.layout.WideBvh) or None if the library is absent."""
+    binned SAH. leaf_cost > 0 overrides the DP collapse's C_LEAF (the
+    relative cost of a leaf-packet pop vs a node pop — raise it for
+    tris_hbm builds where a leaf pop pays an HBM DMA). Returns the same
+    arrays as the Python builder (see accel.layout.WideBvh) or None if
+    the library is absent."""
     lib = _load()
     if lib is None:
         return None
     verts = np.ascontiguousarray(vertices, np.float32)
     idx4 = np.ascontiguousarray(indices4, np.int32).reshape(-1, 4)
     num_tris = len(idx4)
-    h = lib.rt_bvh_build(
+    h = lib.rt_bvh_build2(
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         idx4.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        num_tris, arity, packet, leaf_threshold, quality)
+        num_tris, arity, packet, leaf_threshold, quality,
+        float(leaf_cost))
     try:
         nn = lib.rt_bvh_num_nodes(h)
         npk = lib.rt_bvh_num_packets(h)

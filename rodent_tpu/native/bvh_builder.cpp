@@ -86,6 +86,7 @@ struct DPNode {
 
 struct Builder {
     int arity, packet, leaf_threshold;
+    float leaf_cost = 1.2f;  // C_LEAF override (see dp_collapse_emit)
     int64_t num_tris;
     std::vector<Vec3> v0, v1, v2;
     std::vector<int32_t> gid;
@@ -345,11 +346,17 @@ void Builder::binary_to_dpn() {
 // under MAX_LEAF_PACKETS packets; subtree ranges are contiguous thanks
 // to left-first DFS layout. The numpy twin is
 // accel/builder.py::_collapse_wide_dp (oracle-tested vs brute force).
+// C_LEAF is the DEFAULT leaf-packet pop cost (heavier lane math,
+// measured on the VMEM-resident kernel); Builder::leaf_cost overrides it
+// per build: in tris_hbm mode a leaf pop also pays a ~1-2 us HBM DMA, so
+// big-scene builds want a higher ratio (fewer, tighter leaf packets —
+// the area-weighted packet count IS the expected DMA count per ray).
 constexpr float C_NODE = 1.0f;
 constexpr float C_LEAF = 1.2f;
 constexpr int MAX_LEAF_PACKETS = 8;
 
 void Builder::dp_collapse_emit() {
+    const float C_LEAF_EFF = leaf_cost;
     const int A = arity;
     const int64_t n = int64_t(dpn.size());
     std::vector<float> C(size_t(n) * (A + 1), INF);
@@ -368,7 +375,7 @@ void Builder::dp_collapse_emit() {
         float* Cb = &C[size_t(b) * (A + 1)];
         float area = d.box.half_area();
         if (d.l < 0) {
-            float cl = area * C_LEAF * ceil_pk(d.end - d.start);
+            float cl = area * C_LEAF_EFF * ceil_pk(d.end - d.start);
             for (int i = 1; i <= A; ++i) Cb[i] = cl;
             as_leaf[b] = 1;
             continue;
@@ -390,7 +397,7 @@ void Builder::dp_collapse_emit() {
         }
         int64_t cnt = d.end - d.start;
         float leaf_cost = cnt <= int64_t(MAX_LEAF_PACKETS) * packet
-                              ? area * C_LEAF * ceil_pk(cnt) : INF;
+                              ? area * C_LEAF_EFF * ceil_pk(cnt) : INF;
         float node_cost = area * C_NODE + D[A];
         Cb[1] = std::min(leaf_cost, node_cost);
         as_leaf[b] = leaf_cost <= node_cost;
@@ -852,6 +859,50 @@ void* rt_bvh_build(const float* verts, const int32_t* idx4,
     // the DP collapse decides the real leaf cuts; keep the binary tree
     // fine so it has freedom (leaf_threshold kept as a lower bound only)
     b->leaf_threshold = std::max(std::min(leaf_threshold, 4), 2);
+    b->num_tris = num_tris;
+    b->v0.resize(num_tris);
+    b->v1.resize(num_tris);
+    b->v2.resize(num_tris);
+    b->gid.resize(num_tris);
+    b->tri_box.resize(num_tris);
+    b->center.resize(num_tris);
+    for (int64_t t = 0; t < num_tris; ++t) {
+        auto fetch = [&](int32_t vi) {
+            return Vec3{verts[vi * 3 + 0], verts[vi * 3 + 1],
+                        verts[vi * 3 + 2]};
+        };
+        b->v0[t] = fetch(idx4[t * 4 + 0]);
+        b->v1[t] = fetch(idx4[t * 4 + 1]);
+        b->v2[t] = fetch(idx4[t * 4 + 2]);
+        b->gid[t] = idx4[t * 4 + 3];
+        BBox box;
+        box.lo = vmin(vmin(b->v0[t], b->v1[t]), b->v2[t]);
+        box.hi = vmax(vmax(b->v0[t], b->v1[t]), b->v2[t]);
+        b->tri_box[t] = box;
+        b->center[t] = {(box.lo.x + box.hi.x) * 0.5f,
+                        (box.lo.y + box.hi.y) * 0.5f,
+                        (box.lo.z + box.hi.z) * 0.5f};
+    }
+    if (quality >= 1) {
+        b->build_sbvh_binary();
+    } else {
+        b->build_binary();
+        b->binary_to_dpn();
+    }
+    b->dp_collapse_emit();
+    return b;
+}
+
+// rt_bvh_build with an explicit DP-collapse leaf cost (C_LEAF override;
+// see dp_collapse_emit). leaf_cost <= 0 keeps the default.
+void* rt_bvh_build2(const float* verts, const int32_t* idx4,
+                    int64_t num_tris, int arity, int packet,
+                    int leaf_threshold, int quality, float leaf_cost) {
+    auto* b = new Builder();
+    b->arity = arity;
+    b->packet = packet;
+    b->leaf_threshold = std::max(std::min(leaf_threshold, 4), 2);
+    if (leaf_cost > 0.0f) b->leaf_cost = leaf_cost;
     b->num_tris = num_tris;
     b->v0.resize(num_tris);
     b->v1.resize(num_tris);

@@ -104,7 +104,9 @@ def render_iteration_sharded(scene, camera, film, width, height, spp,
 def render_iteration_persistent_sharded(scene, camera, film, width,
                                         height, spp, iteration, mesh,
                                         pool=None, packet=False,
-                                        sort=False, retire_every=1):
+                                        sort=False, retire_every=1,
+                                        compact=0, bounce_packet=None,
+                                        shadow_packet=None):
     """Persistent-wavefront iteration over the mesh: each px shard runs
     the regeneration pool on its own pixel strip (strip-local film
     splats), each sp rank traces a disjoint sample range, partials psum
@@ -134,7 +136,8 @@ def render_iteration_persistent_sharded(scene, camera, film, width,
         delta = render_iteration_persistent(
             scene_local, camera, jnp.zeros_like(film_local), width,
             height, spp_local, iteration, pool=pool, packet=packet,
-            sort=sort, retire_every=retire_every,
+            sort=sort, retire_every=retire_every, compact=compact,
+            bounce_packet=bounce_packet, shadow_packet=shadow_packet,
             pixel_lo=px_rank * local, n_pixels=local,
             sample_lo=sp_rank * spp_local, spp_weight=1.0 / spp)
         return film_local + jax.lax.psum(delta, "sp")

@@ -517,6 +517,41 @@ def select_packet(device, limit_bytes=80 * 1024 * 1024):
     return True if mode == "dense" else mode
 
 
+def select_render_policy(device, limit_bytes=80 * 1024 * 1024):
+    """Measured per-distribution engine policy for the PERSISTENT
+    renderer: kwargs for render_iteration_persistent (round-4 A/B,
+    experiments/ab_render_policy.py, results_tpu_r4.txt).
+
+    - dense tier (<= 16 Tri packets, cornell-class): the packet kernel
+      wins the whole step on-chip (10.7 vs tiled 2.9 Msamples/s,
+      results_tpu_r3.txt) with deferred retirement; dense brute-force
+      off-chip.
+    - hybrid tier (BVH VMEM-resident, hall/crown-class): the mixed-depth
+      persistent pool diverges past what the shared-stack kernel
+      tolerates — ALL traversals (bounce AND NEE shadow) go to the
+      dual-queue loop with staged compaction + pool sort. Measured on
+      hall-260K 960x544 spp2 mpl20: all-packet 0.122 / shadow-on-packet
+      0.207 / all-tiled+compact5 0.521 Msamples/s; the depth-0 packet
+      peel adds nothing (0.506). The shadow rays were the round-3
+      bottleneck: any-hit packet tiles pay the same union tax as
+      bounces.
+    - hbm/giga tiers (San-Miguel-class): the Tri (and node) tables
+      exceed VMEM; the DMA packet kernel carries the traversal.
+
+    select_packet remains the single-call traversal policy (bench tools
+    that traverse one coherent distribution at a time)."""
+    import jax
+    mode = packet_mode(device, limit_bytes=limit_bytes)
+    tpu = jax.default_backend() == "tpu"
+    if mode == "dense":
+        if tpu:
+            return dict(packet=True, retire_every=2)
+        return dict(packet="dense", retire_every=2)
+    if mode == "hybrid" or not tpu:
+        return dict(packet=False, compact=5, sort="pool")
+    return dict(packet=mode, sort="pool")
+
+
 def _mat_eq(a, b):
     return (a.ka == b.ka and a.kd == b.kd and a.ks == b.ks and a.ke == b.ke
             and a.ns == b.ns and a.ni == b.ni and a.tf == b.tf

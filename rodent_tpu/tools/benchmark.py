@@ -234,7 +234,7 @@ def _render_one(args, sizes, scene_name, W, H, spp):
 
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_mesh, select_packet
+    from ..render.compiler import compile_mesh, select_render_policy
     from ..render.integrator import render_iteration_persistent
     from ..utils import testscenes
 
@@ -244,15 +244,14 @@ def _render_one(args, sizes, scene_name, W, H, spp):
     eye, dirv, fov, emitter = _RENDER_CAMS[scene_name]
     scene = compile_mesh(verts, idx, max_path_len=args.mpl,
                          emitter=emitter)
-    packet = select_packet(scene.device)
-    # per-step pool re-sort: +32% on hall with the packet kernel
-    # (experiments/measure_pool_sort.py), films bit-identical
-    sort = bool(packet)
+    # measured per-tier renderer policy (round-4 A/B: the hall/crown
+    # tier routes ALL pool traversals to tiled + staged compaction —
+    # all-packet 0.122 vs all-tiled 0.521 Msamples/s on hall)
+    policy = select_render_policy(scene.device)
     cam = Camera.make(eye, dirv, (0, 1, 0), fov, W, H)
     film = film_mod.new_film(W, H)
     film = render_iteration_persistent(scene.device, cam, film, W, H,
-                                       spp, 0, packet=packet,
-                                       sort=sort)
+                                       spp, 0, **policy)
     # force a small host fetch: block_until_ready returns early on some
     # remote XLA programs (ROADMAP round-2 session-3 — a bigscene timing
     # once read 11,603 Mrays/s); ~30 ms tunnel cost per fetch is <2% of
@@ -262,14 +261,14 @@ def _render_one(args, sizes, scene_name, W, H, spp):
     for it in range(1, args.iters + 1):
         t0 = time.perf_counter()
         film = render_iteration_persistent(scene.device, cam, film,
-                                           W, H, spp, it,
-                                           packet=packet, sort=sort)
+                                           W, H, spp, it, **policy)
         _ = np.asarray(film[:1])
         times.append(time.perf_counter() - t0)
     ms = np.sort(W * H * spp / np.asarray(times) / 1e6)
     mean_lum = float(np.asarray(film).mean()) / (args.iters + 1)
+    eng = policy.get("packet", False) or f"tiled-c{policy.get('compact', 0)}"
     print(f"{scene_name} : render({W}x{H} spp{spp} mpl{args.mpl}, "
-          f"traversal={packet or 'tiled'}) : "
+          f"traversal={eng}) : "
           f"{ms[len(ms) // 2]:.2f} Msamples/s "
           f"(min {ms[0]:.2f}, max {ms[-1]:.2f}, n={args.iters}; "
           f"mean film {mean_lum:.4f})", flush=True)

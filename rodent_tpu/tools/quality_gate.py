@@ -61,7 +61,7 @@ def main(argv=None):
     from ..io import png
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj, select_packet
+    from ..render.compiler import compile_obj, select_render_policy
     from ..render.integrator import render_iteration_persistent
 
     ref = png.read_png(args.ref)[..., :3]
@@ -74,7 +74,8 @@ def main(argv=None):
         W, H = W0, H0
 
     scene = compile_obj(args.scene, max_path_len=64)
-    packet = select_packet(scene.device)
+    # measured per-tier renderer policy (engines + compaction + sort)
+    policy = select_render_policy(scene.device)
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W, H)
     film = film_mod.new_film(W, H)
     checkpoints = sorted(int(t) for t in args.checkpoints.split(",") if t)
@@ -84,7 +85,7 @@ def main(argv=None):
     t0 = time.time()
     for it in range(iters):
         film = render_iteration_persistent(scene.device, cam, film, W, H,
-                                           args.spp, it, packet=packet)
+                                           args.spp, it, **policy)
         if it + 1 in checkpoints:
             img_c = film_mod.tonemap(film, W, H, it + 1)
             print(f"checkpoint {it + 1:5d} iters "

@@ -74,13 +74,22 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj, select_packet
+    from ..render.compiler import (compile_obj, select_packet,
+                                   select_render_policy)
     from ..render.integrator import render_iteration
     from ..io import png
 
     scene = compile_obj(args.scene, max_path_len=args.max_path_len)
+    # the persistent paths take the full measured policy (engines +
+    # compaction + sort + retirement) under --traversal auto; explicit
+    # flags and the progressive/debug paths keep the single-engine knob
+    policy = None
     if args.traversal == "auto":
-        packet = False if args.no_packet else select_packet(scene.device)
+        if args.no_packet:
+            packet = False
+        else:
+            policy = dict(select_render_policy(scene.device))
+            packet = select_packet(scene.device)
     else:
         packet = {"tiled": False, "packet": True, "dense": "dense",
                   "hybrid": "hybrid", "hybrid-hbm": "hybrid-hbm",
@@ -89,6 +98,8 @@ def main(argv=None):
     sort = ("pool" if args.sort == "pool" else
             (args.sort == "on"
              or (args.sort == "auto" and num_tris > 16384)))
+    if policy is not None and args.sort != "auto":
+        policy["sort"] = sort  # explicit --sort overrides the policy
     cam = Camera.make(args.eye, args.dir, args.up, args.fov,
                       args.width, args.height)
     film = film_mod.new_film(args.width, args.height)
@@ -108,9 +119,11 @@ def main(argv=None):
                 scene.device, cam, f, args.width, args.height, args.spp, i,
                 mesh, packet=packet, sort=sort)
         else:
+            kw = (policy if policy is not None
+                  else dict(packet=packet, sort=sort))
             step = lambda f, i: render_iteration_persistent_sharded(
                 scene.device, cam, f, args.width, args.height, args.spp, i,
-                mesh, packet=packet, sort=sort)
+                mesh, **kw)
     elif args.progressive:
         step = lambda f, i: render_iteration(
             scene.device, cam, f, args.width, args.height, args.spp, i,
@@ -120,9 +133,11 @@ def main(argv=None):
         # depend only on sample/iter/pixel), ~4x the progressive
         # throughput (mapping_gpu.impala:371-474's megakernel trick)
         from ..render.integrator import render_iteration_persistent
+        kw = (policy if policy is not None
+              else dict(packet=packet, sort=sort))
         step = lambda f, i: render_iteration_persistent(
             scene.device, cam, f, args.width, args.height, args.spp, i,
-            packet=packet, sort=sort)
+            **kw)
 
     from ..utils.profiling import StageProfiler
     prof = StageProfiler(enabled=args.profile, unit="Msamples")

@@ -216,7 +216,7 @@ def main(argv=None):
     from ..io import png
     from ..render import film as film_mod
     from ..render.camera import Camera
-    from ..render.compiler import compile_obj, select_packet
+    from ..render.compiler import compile_obj, select_render_policy
     from ..render.integrator import render_iteration_persistent
     from ..utils.compile import rjit
 
@@ -228,7 +228,7 @@ def main(argv=None):
         H = args.height or max(2 * (rows - 2), 2) & ~1
 
     scene = compile_obj(args.scene, max_path_len=args.max_path_len)
-    packet = select_packet(scene.device)
+    policy = select_render_policy(scene.device)
     rig = CameraRig(args.eye, args.dir, args.up)
     tspeed = 0.1
 
@@ -261,7 +261,7 @@ def main(argv=None):
     @rjit(static_argnames=("spp",), donate_argnames=("film",))
     def _step(device, cvals, film, spp, it):
         return raw_iteration(device, _DynCam(cvals), film, W, H, spp, it,
-                             packet=packet)
+                             **policy)
 
     def render_one():
         nonlocal film, iter_count

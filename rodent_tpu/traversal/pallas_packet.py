@@ -405,6 +405,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         pf_init()
     if count_pops:
         cnt_sm[0] = jnp.int32(0)
+        cnt_sm[1] = jnp.int32(0)
 
     # per-tile octant purity: after the Morton+octant sort almost every
     # tile shares direction signs on every axis, so the near/far bound of
@@ -615,6 +616,12 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             code = jnp.where(valid, stack_ref[top], zero)
             codes.append(code)
             sptr = jnp.where(valid, top, sptr)
+        if count_pops:
+            # second counter: LEAF pops alone (each is one Tri-row fetch;
+            # in tris_hbm mode, one HBM DMA) — the node/leaf split is the
+            # attribution the big-scene transport levers need
+            cnt_sm[1] = cnt_sm[1] + jnp.where(codes[0] < 0,
+                                              jnp.int32(1), jnp.int32(0))
 
         # done-ray deactivation (any-hit): a ray that already has its
         # hit is tested at t=-inf from here on, so it stops contributing
@@ -786,7 +793,11 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
     prim_ref[:] = p_b
     geom_ref[:] = g_b
     if count_pops:
-        cnt_ref[:] = jnp.full((8, 128), cnt_sm[0], jnp.int32)
+        # row 0 of each tile block = total pops (the historical contract,
+        # consumers read cnt[::8, 0]); row 1 = leaf pops
+        cnt_ref[0:1] = jnp.full((1, 128), cnt_sm[0], jnp.int32)
+        cnt_ref[1:2] = jnp.full((1, 128), cnt_sm[1], jnp.int32)
+        cnt_ref[2:8] = jnp.full((6, 128), cnt_sm[0], jnp.int32)
 
 
 def _kernel_multi(rays_ref, nodes_ref, tris_ref,
@@ -1263,7 +1274,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                                 memory_space=pltpu.VMEM))],
         out_specs=out_specs,
         scratch_shapes=([pltpu.SMEM((stack_size,), jnp.int32)]
-                        + ([pltpu.SMEM((1,), jnp.int32)] if count_pops
+                        + ([pltpu.SMEM((2,), jnp.int32)] if count_pops
                            else [])
                         + ([pltpu.VMEM((buf_rows, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA(())] if tris_hbm
