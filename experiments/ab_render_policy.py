@@ -39,6 +39,10 @@ POLICIES = {
     "split-sh-t": dict(packet=True, bounce_packet=False,
                        shadow_packet=False, compact=5, depth_split=True),
     "all-tiled": dict(packet=False, compact=5),
+    # knob refinements under the all-tiled winner (round-4 session 3)
+    "all-tiled-c0": dict(packet=False, compact=0),
+    "all-tiled-c3": dict(packet=False, compact=3),
+    "all-tiled-c8": dict(packet=False, compact=8),
 }
 
 
@@ -52,6 +56,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--sort", default="pool")
     ap.add_argument("--retire", type=int, default=1)
+    ap.add_argument("--pool", type=int, default=0,
+                    help="override the persistent pool size (0 = default)")
     ap.add_argument("--policies", default=",".join(POLICIES))
     args = ap.parse_args()
 
@@ -98,7 +104,8 @@ def main():
                 scene.device, cam, film, W, H, args.spp, it,
                 sort=(args.sort if args.sort in ("pool",)
                       else args.sort == "true"),
-                retire_every=args.retire, **kw)
+                retire_every=args.retire,
+                **(dict(pool=args.pool) if args.pool else {}), **kw)
 
         try:
             film = film_mod.new_film(W, H)

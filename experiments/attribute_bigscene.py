@@ -93,20 +93,23 @@ def main():
         r, m = (int(x) for x in c.split("x"))
         for pf in (True, False):
             variants.append((r, m, pf))
+    # dev passed as an argument, not a closure capture: captured tables
+    # become program constants and blow the remote-compile request-body
+    # limit at powerplant scale (HTTP 413)
     fns = {}
     for r, m, pf in variants:
         fns[(r, m, pf)] = jax.jit(
-            lambda ra, tr=r, mm=m, p=pf: pp.traverse_packet(
-                dev, ra, tile_rows=tr, multi=mm, tris_hbm=True,
+            lambda d, ra, tr=r, mm=m, p=pf: pp.traverse_packet(
+                d, ra, tile_rows=tr, multi=mm, tris_hbm=True,
                 prefetch=p))
-        out = fns[(r, m, pf)](rays)
+        out = fns[(r, m, pf)](dev, rays)
         _ = np.asarray(out["t"][:8])
     samples = {v: [] for v in variants}
     for _b in range(args.blocks):
         for v in variants:
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                out = fns[v](rays)
+                out = fns[v](dev, rays)
             _ = np.asarray(out["t"][:8])
             samples[v].append(n * args.iters
                               / (time.perf_counter() - t0) / 1e6)
