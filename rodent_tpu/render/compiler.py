@@ -529,12 +529,17 @@ def select_render_policy(device, limit_bytes=80 * 1024 * 1024):
     - hybrid tier (BVH VMEM-resident, hall/crown-class): the mixed-depth
       persistent pool diverges past what the shared-stack kernel
       tolerates — ALL traversals (bounce AND NEE shadow) go to the
-      dual-queue loop with staged compaction + pool sort. Measured on
+      dual-queue loop with staged compaction, UNSORTED. Measured on
       hall-260K 960x544 spp2 mpl20: all-packet 0.122 / shadow-on-packet
-      0.207 / all-tiled+compact5 0.521 Msamples/s; the depth-0 packet
-      peel adds nothing (0.506). The shadow rays were the round-3
-      bottleneck: any-hit packet tiles pay the same union tax as
-      bounces.
+      0.207 / all-tiled+compact5+pool-sort 0.521 / +sort=none 0.744
+      Msamples/s; the depth-0 packet peel adds nothing (0.506). The
+      shadow rays were the round-3 bottleneck: any-hit packet tiles pay
+      the same union tax as bounces. The knob sweep (results_tpu_r4
+      "all-tiled knob sweep") closed the rest: the pool sort costs more
+      than the coherence it buys a GATHER-based engine (+43% without
+      it), and deferred retirement only pays when the sort makes the
+      retirement block heavy (retire=2 wins under pool-sort, loses
+      under sort=none on both hall and crown).
     - hbm/giga tiers (San-Miguel-class): the Tri (and node) tables
       exceed VMEM; the DMA packet kernel carries the traversal.
 
@@ -548,7 +553,7 @@ def select_render_policy(device, limit_bytes=80 * 1024 * 1024):
             return dict(packet=True, retire_every=2)
         return dict(packet="dense", retire_every=2)
     if mode == "hybrid" or not tpu:
-        return dict(packet=False, compact=5, sort="pool")
+        return dict(packet=False, compact=5)
     return dict(packet=mode, sort="pool")
 
 
