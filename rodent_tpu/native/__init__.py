@@ -26,7 +26,8 @@ def _load():
         return _lib
     _tried = True
     srcs = [os.path.join(_DIR, s)
-            for s in ("lz4.cpp", "bvh_builder.cpp", "obj_loader.cpp")]
+            for s in ("lz4.cpp", "bvh_builder.cpp", "obj_loader.cpp",
+                      "ref_bvh.cpp")]
     if (not os.path.exists(_LIB_PATH)
             or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
                    for s in srcs)):
@@ -81,6 +82,20 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p]
     lib.rt_obj_free.restype = None
     lib.rt_obj_free.argtypes = [ctypes.c_void_p]
+    lib.rt_ref_build.restype = ctypes.c_void_p
+    lib.rt_ref_build.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                 ctypes.POINTER(ctypes.c_int32),
+                                 ctypes.c_int64]
+    lib.rt_ref_num_nodes.restype = ctypes.c_int64
+    lib.rt_ref_num_nodes.argtypes = [ctypes.c_void_p]
+    lib.rt_ref_traverse.restype = ctypes.c_double
+    lib.rt_ref_traverse.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+    lib.rt_ref_free.restype = None
+    lib.rt_ref_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -155,6 +170,54 @@ def bvh_build(vertices, indices4, arity=8, packet=4, leaf_threshold=4,
     finally:
         lib.rt_bvh_free(h)
     return bounds, child, tv0, te1, te2, tn, pid, gid
+
+
+class RefTracer:
+    """Independent single-ray BVH2 engine (ref_bvh.cpp) — the
+    bench_embree/bench_aila analog (tools/bench_embree/bench_embree.cpp):
+    a second, fully independent implementation used to cross-check hit
+    results and to anchor throughput claims with a measurement the code
+    under test did not produce. Shares no code with the TPU engines or
+    bvh_builder.cpp."""
+
+    def __init__(self, vertices, indices4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        verts = np.ascontiguousarray(vertices, np.float32)
+        idx4 = np.ascontiguousarray(indices4, np.int32).reshape(-1, 4)
+        self._h = lib.rt_ref_build(
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx4.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(idx4))
+        self.num_nodes = int(lib.rt_ref_num_nodes(self._h))
+
+    def traverse(self, org, dirs, tmin, tmax, any_hit=False):
+        """Closest-hit (or first-hit) traversal of N rays. Returns
+        (t (N,) f32 — tmax kept on miss, prim_id (N,) i32 — -1 on miss,
+        seconds — timed inside the C engine)."""
+        org = np.ascontiguousarray(org, np.float32).reshape(-1, 3)
+        dirs = np.ascontiguousarray(dirs, np.float32).reshape(-1, 3)
+        n = len(org)
+        tmin = np.ascontiguousarray(
+            np.broadcast_to(np.float32(tmin), (n,)), np.float32)
+        tmax = np.ascontiguousarray(
+            np.broadcast_to(np.float32(tmax), (n,)), np.float32)
+        t_out = np.empty(n, np.float32)
+        prim_out = np.empty(n, np.int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        secs = self._lib.rt_ref_traverse(
+            self._h, org.ctypes.data_as(f32p), dirs.ctypes.data_as(f32p),
+            tmin.ctypes.data_as(f32p), tmax.ctypes.data_as(f32p), n,
+            1 if any_hit else 0, t_out.ctypes.data_as(f32p),
+            prim_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return t_out, prim_out, float(secs)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.rt_ref_free(self._h)
+            self._h = None
 
 
 def obj_load(path):
