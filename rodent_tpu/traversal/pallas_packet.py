@@ -56,11 +56,16 @@ TILE_ROWS = 16           # rays per tile = TILE_ROWS * 128
 # post-pass ~290 ms), SAME-tile stream interleaving (v3; chains do not
 # overlap).
 # Round 3: CROSS-tile interleaving (multi=N independent tiles per grid
-# step, one fused loop — _kernel_multi) DOES pack: the ~600 ns fixed
-# part is scalar/small-vector issue that co-schedules against the other
-# tile's full-tile vector work. Measured (hall, same run): 16-rows x
-# multi=2 beats 32x1 by +16% primary / +8% ao / +12% bounces; 8x4
-# close behind; 4xN loses (pop-count inflation). Defaults now 16x2.
+# step, one fused loop — _kernel_multi) packs the ~600 ns fixed part
+# (scalar/small-vector issue) against the other tile's full-tile vector
+# work. Round 4's controlled interleaved sweep (median-of-5 blocks,
+# results_tpu_r4.txt) OVERTURNED the round-3 single-run "+16% primary"
+# claim: on primary, 32x1 / 24x1 / 40x1 / 32x2 tie at the top and 16x2
+# costs ~5%, so primary callers pass rows=32, multi=1 (bench.py races
+# 32x1 vs 24x1). On ao/bounces 16x2 IS the measured winner (2.68/3.19
+# vs 32x1's 2.52/2.68) and narrow-deep tiles (4xN, 8xN) lose to
+# pop-count inflation at every depth. Module defaults stay 16x2 — the
+# incoherent-distribution winner — and coherent paths override.
 STACK = 64
 POPS = 1        # stack entries retired per loop iteration (see _kernel)
 SCALAR_READS = False  # direct scalar VMEM loads (1 row/line) vs row loads
