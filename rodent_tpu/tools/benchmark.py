@@ -86,28 +86,33 @@ def main(argv=None):
     side = int(np.sqrt(args.rays))
     n = side * side
     variants = args.variants.split(",")
+    # cfg carries the measured per-distribution packet tile config
+    # (round-4 rows x multi sweeps, results_tpu_r4.txt: primary 32x1;
+    # ao/bounces keep the 16x2 module default). The XLA tiled variants
+    # have no tile config and ignore it.
     engines = {
-        "packet": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah),
-        "hbm": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah,
-                                                  tris_hbm=True),
-        "tiled": lambda dev, r, ah: traverse_tiled(dev, r, any_hit=ah),
+        "packet": lambda dev, r, ah, cfg: traverse_packet(
+            dev, r, any_hit=ah, **cfg),
+        "hbm": lambda dev, r, ah, cfg: traverse_packet(
+            dev, r, any_hit=ah, tris_hbm=True, **cfg),
+        "tiled": lambda dev, r, ah, cfg: traverse_tiled(dev, r,
+                                                        any_hit=ah),
         # staged row compaction (tiled.py compact_stages): pays when the
         # cone sort makes rows die together
-        "tiled-c": lambda dev, r, ah: traverse_tiled(dev, r, any_hit=ah,
-                                                     compact_stages=5),
+        "tiled-c": lambda dev, r, ah, cfg: traverse_tiled(
+            dev, r, any_hit=ah, compact_stages=5),
         # giga-scene mode: node AND Tri tables in HBM, one DMA per pop
         # (>12M-tri scenes whose node table exceeds VMEM)
-        "giga": lambda dev, r, ah: traverse_packet(dev, r, any_hit=ah,
-                                                   tris_hbm=True,
-                                                   nodes_hbm=True),
+        "giga": lambda dev, r, ah, cfg: traverse_packet(
+            dev, r, any_hit=ah, tris_hbm=True, nodes_hbm=True, **cfg),
         # A/B rows: HBM modes with the exact next-pop DMA prefetch
         # disabled (blocking start();wait() per pop, the round-2
         # transport)
-        "hbm-nopf": lambda dev, r, ah: traverse_packet(
-            dev, r, any_hit=ah, tris_hbm=True, prefetch=False),
-        "giga-nopf": lambda dev, r, ah: traverse_packet(
+        "hbm-nopf": lambda dev, r, ah, cfg: traverse_packet(
+            dev, r, any_hit=ah, tris_hbm=True, prefetch=False, **cfg),
+        "giga-nopf": lambda dev, r, ah, cfg: traverse_packet(
             dev, r, any_hit=ah, tris_hbm=True, nodes_hbm=True,
-            prefetch=False),
+            prefetch=False, **cfg),
     }
     # VMEM budget gates (bytes of f32 tables) for the Pallas variants
     VMEM_BUDGET = 80 * 1024 * 1024
@@ -152,6 +157,8 @@ def main(argv=None):
         tris_b = dev["tris"].size * 4
         for dist, (rays, ah) in dists.items():
             srt, _ = sort_rays(rays, lo, hi)
+            pcfg = ({"tile_rows": 32, "multi": 1} if dist == "primary"
+                    else {})
             for variant in variants:
                 if variant == "packet" and nodes_b + tris_b > VMEM_BUDGET:
                     print(f"{scene} : {dist} : packet : skipped "
@@ -168,8 +175,8 @@ def main(argv=None):
                 # the remote-compile request) and timing forces a small
                 # host fetch (block_until_ready returns early on some
                 # remote-backend programs)
-                fn_t = rjit(lambda d, r, e=engines[variant], a=ah:
-                               e(d, r, a))
+                fn_t = rjit(lambda d, r, e=engines[variant], a=ah,
+                            c=pcfg: e(d, r, a, c))
                 try:
                     out = fn_t(dev, srt)
                     _ = np.asarray(out["t"][:128])
