@@ -50,8 +50,7 @@ def main():
     from rodent_tpu.traversal.pallas_packet import traverse_packet
     from rodent_tpu.traversal.sorting import sort_rays
     from rodent_tpu.utils.compile import rjit
-    from rodent_tpu.utils.testscenes import (hall_primary_rays, make_hall,
-                                             hall_secondary_rays)
+    from rodent_tpu.utils.testscenes import hall_primary_rays, make_hall
 
     detail = {"backend": jax.default_backend()}
 
@@ -92,23 +91,17 @@ def main():
         (hit["prim_id"] >= 0).astype(jnp.float32))), 4)
 
     # secondary distributions from the primary hit points (ray_gen role)
+    from rodent_tpu.utils.testscenes import secondary_rays_from_trace
     hit_un = traverse_packet(dev, prim)  # unsorted order for hit points
     t = np.asarray(hit_un["t"])
     pid = np.asarray(hit_un["prim_id"])
-    t = np.where(pid >= 0, t, 1.0)  # misses: arbitrary finite point
-    hp = org + dirs * t[:, None]
-    i4 = idx.reshape(-1, 4)
-    tri = np.maximum(pid, 0)
-    v0, v1, v2 = verts[i4[tri, 0]], verts[i4[tri, 1]], verts[i4[tri, 2]]
-    fnrm = np.cross(v0 - v1, v2 - v0)
-    fnrm = np.where((fnrm * dirs).sum(1, keepdims=True) > 0, -fnrm, fnrm)
 
     from rodent_tpu.traversal.tiled import traverse_tiled
     for kind, any_hit in (("ao", True), ("bounces", False)):
-        o2, d2, tmax2 = hall_secondary_rays(kind, hp, fnrm)
+        o2, d2, tmin2, tmax2 = secondary_rays_from_trace(
+            kind, org, dirs, t, pid, verts, idx.reshape(-1, 4))
         rays2 = make_rays(jnp.asarray(o2), jnp.asarray(d2),
-                          jnp.full(n, 1e-3, jnp.float32),
-                          jnp.asarray(tmax2))
+                          jnp.asarray(tmin2), jnp.asarray(tmax2))
         rays2, _ = sort_rays(rays2, verts.min(0), verts.max(0))
         # race both engines on the incoherent distributions and report
         # the best (the reference's tables list the best variant per
@@ -177,12 +170,18 @@ def main():
                     raise
                 print(f"# prefetch lowering failed ({type(e).__name__}); "
                       f"falling back", file=sys.stderr)
+        # blocks of 3 calls with ONE sync fetch per block: the device
+        # queue serializes the calls, so fetching the last result's head
+        # completes the block while amortizing the ~30 ms tunnel fetch
+        # to 1/3 per call (a per-call fetch deflated this row 15-20%
+        # relative to the r3 rows it is compared against)
         bs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            bhit = bfn(bdev, brays)
+            for _ in range(3):
+                bhit = bfn(bdev, brays)
             _ = np.asarray(bhit["t"][:128])
-            bs.append(bn / (time.perf_counter() - t0) / 1e6)
+            bs.append(3 * bn / (time.perf_counter() - t0) / 1e6)
         bs.sort()
         detail["bigscene_tris"] = len(bidx) // 4
         detail["bigscene_mrays"] = round(bs[len(bs) // 2], 2)

@@ -4,6 +4,9 @@
 # crashes writes "SECTION FAILED (exit N)" instead of burying a
 # traceback as a result (round-3 hygiene item, VERDICT weak #7).
 cd "$(dirname "$0")/.."
+# without pipefail, `cmd | tee` reports tee's exit status and a crashed
+# section would silently take the success branch
+set -o pipefail
 OUT=benchmarks/results_tpu_r4.txt
 
 section() {

@@ -102,13 +102,7 @@ def main():
         out = fn(rays)
         _ = np.asarray(out["t"][:8])
         # counted pops (single-tile body, multi demoted)
-        tile = args.rows * 128
-        nt = -(-n // tile)
-        comp = [rays["inv_dir"][:, i] for i in range(3)]
-        comp += [rays["org"][:, i] for i in range(3)]
-        comp += [rays["dir"][:, i] for i in range(3)]
-        comp += [rays["tmin"], rays["tmax"]]
-        packed = jnp.stack(comp).reshape(11, nt * args.rows, 128)
+        packed, nt = pp.pack_rays(rays, args.rows)
         outs = pp._call_kernel(dev, packed, nt, args.rows, False,
                                False, count_pops=True, multi=1)
         cnt = np.asarray(outs[5])[::8, 0]

@@ -38,7 +38,7 @@ def main():
     from rodent_tpu.traversal import pallas_packet as pp
     from rodent_tpu.traversal.sorting import sort_rays
     from rodent_tpu.utils.testscenes import (hall_primary_rays, make_hall,
-                                             hall_secondary_rays)
+                                             secondary_rays_from_trace)
 
     verts, idx = make_hall(args.tris)
     bvh = build_bvh(verts, idx, arity=8, packet=8, leaf_threshold=12)
@@ -54,19 +54,11 @@ def main():
         rays, _ = sort_rays(prim, verts.min(0), verts.max(0))
     else:
         hit_un = pp.traverse_packet(dev, prim)
-        t = np.asarray(hit_un["t"])
-        pid = np.asarray(hit_un["prim_id"])
-        t = np.where(pid >= 0, t, 1.0)
-        hp = org + dirs * t[:, None]
-        i4 = idx.reshape(-1, 4)
-        tri = np.maximum(pid, 0)
-        v0, v1, v2 = verts[i4[tri, 0]], verts[i4[tri, 1]], verts[i4[tri, 2]]
-        fn = np.cross(v0 - v1, v2 - v0)
-        fn = np.where((fn * dirs).sum(1, keepdims=True) > 0, -fn, fn)
-        o2, d2, tmax2 = hall_secondary_rays(args.dist, hp, fn)
+        o2, d2, tmin2, tmax2 = secondary_rays_from_trace(
+            args.dist, org, dirs, np.asarray(hit_un["t"]),
+            np.asarray(hit_un["prim_id"]), verts, idx.reshape(-1, 4))
         rays = make_rays(jnp.asarray(o2), jnp.asarray(d2),
-                         jnp.full(n, 1e-3, jnp.float32),
-                         jnp.asarray(tmax2))
+                         jnp.asarray(tmin2), jnp.asarray(tmax2))
         rays, _ = sort_rays(rays, verts.min(0), verts.max(0))
 
     configs = []

@@ -97,7 +97,6 @@ def main():
     ref_film = None
     for name in args.policies.split(","):
         kw = POLICIES[name]
-        sort = args.sort if args.sort != "pool" or True else args.sort
 
         def step(film, it, kw=kw):
             return render_iteration_persistent(

@@ -50,16 +50,8 @@ for ab in CASES:
     dt = (time.perf_counter() - t0) / 3
     # pop counts via the count_pops variant (uncached -> slow compile;
     # reuse across runs via the persistent cache)
-    packed = None
-    from rodent_tpu.traversal.pallas_packet import _call_kernel
-    B = n
-    tile = 32 * 128
-    nt = -(-B // tile)
-    comp = [rays["inv_dir"][:, i] for i in range(3)]
-    comp += [rays["org"][:, i] for i in range(3)]
-    comp += [rays["dir"][:, i] for i in range(3)]
-    comp += [rays["tmin"], rays["tmax"]]
-    packed = jnp.stack(comp).reshape(11, nt * 32, 128)
+    from rodent_tpu.traversal.pallas_packet import _call_kernel, pack_rays
+    packed, nt = pack_rays(rays, 32)
     outs = _call_kernel(dev, packed, nt, 32, False, False,
                         count_pops=True, ablate=ab)
     cnt = np.asarray(outs[5])[::8, 0]      # one per tile

@@ -66,17 +66,7 @@ def main():
     # ---- counted pass: node vs leaf pops (single-tile body, hbm) ----
     rows = args.count_rows
     tile = rows * 128
-    nt = -(-n // tile)
-    comp = [rays["inv_dir"][:, i] for i in range(3)]
-    comp += [rays["org"][:, i] for i in range(3)]
-    comp += [rays["dir"][:, i] for i in range(3)]
-    comp += [rays["tmin"], rays["tmax"]]
-    pad = nt * tile - n
-    if pad:
-        comp = [jnp.concatenate(
-            [c, jnp.full(pad, -1.0 if ci == 10 else 0.0, c.dtype)])
-            for ci, c in enumerate(comp)]
-    packed = jnp.stack(comp).reshape(11, nt * rows, 128)
+    packed, nt = pp.pack_rays(rays, rows)
     outs = pp._call_kernel(dev, packed, nt, rows, False, False,
                            count_pops=True, multi=1, tris_hbm=True)
     cnt = np.asarray(outs[5])

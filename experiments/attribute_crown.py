@@ -31,11 +31,9 @@ def tree_stats(bvh, verts):
     stats = {}
     occ = (child != 0).sum(1)
     stats["child_occupancy"] = float(occ.mean())
+    # lane fill counts a sign-bit-flagged (last-packet) lane as valid;
+    # only the -1 padding sentinel is empty
     valid = bvh.prim_id != -1
-    # lane fill counts the sentinel lane's tri as valid when present
-    # (prim_id sign bit only flags last-packet)
-    real = (bvh.prim_id & 0x7FFFFFFF) >= 0
-    real &= bvh.prim_id != -1
     stats["lane_fill"] = float(valid.mean())
     stats["packets_per_tri"] = bvh.num_packets * bvh.packet / max(
         1, int(valid.sum()))
@@ -141,13 +139,7 @@ def main():
             ts.append(n * args.iters / (time.perf_counter() - t0) / 1e6)
         ts.sort()
         # counted pass (single-tile body)
-        tile = args.rows * 128
-        nt = -(-n // tile)
-        comp = [rays["inv_dir"][:, i] for i in range(3)]
-        comp += [rays["org"][:, i] for i in range(3)]
-        comp += [rays["dir"][:, i] for i in range(3)]
-        comp += [rays["tmin"], rays["tmax"]]
-        packed = jnp.stack(comp).reshape(11, nt * args.rows, 128)
+        packed, nt = pp.pack_rays(rays, args.rows)
         outs = pp._call_kernel(dev, packed, nt, args.rows, False,
                                False, count_pops=True, multi=1)
         cnt = np.asarray(outs[5])[::8, 0]

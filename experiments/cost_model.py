@@ -30,18 +30,7 @@ import numpy as np
 
 def counted_pops(pp, dev, rays, rows, n, jnp, tris_hbm=False):
     """(node_pops, leaf_pops) per tile via the kernel's SMEM counters."""
-    tile = rows * 128
-    nt = -(-n // tile)
-    comp = [rays["inv_dir"][:, i] for i in range(3)]
-    comp += [rays["org"][:, i] for i in range(3)]
-    comp += [rays["dir"][:, i] for i in range(3)]
-    comp += [rays["tmin"], rays["tmax"]]
-    pad = nt * tile - n
-    if pad:
-        comp = [jnp.concatenate(
-            [c, jnp.full(pad, -1.0 if ci == 10 else 0.0, c.dtype)])
-            for ci, c in enumerate(comp)]
-    packed = jnp.stack(comp).reshape(11, nt * rows, 128)
+    packed, nt = pp.pack_rays(rays, rows)
     outs = pp._call_kernel(dev, packed, nt, rows, False, False,
                            count_pops=True, multi=1, tris_hbm=tris_hbm)
     cnt = np.asarray(outs[5])
@@ -108,7 +97,7 @@ def main():
     for rows in rows_list:
         node, leaf = counted_pops(pp, dev, rays, rows, n, jnp)
         fn = jax.jit(lambda d, r, rr=rows: pp.traverse_packet(
-            d, r, tile_rows=rows, multi=1))
+            d, r, tile_rows=rr, multi=1))
         mrays = timed(fn, dev, rays, n, args.iters, args.blocks)
         nt = len(node)
         t_tile = (n / (mrays * 1e6)) / nt * 1e9       # ns per tile

@@ -115,18 +115,7 @@ def main():
             # counted pass (separate compile, single-tile body — the
             # counter is per-tile SMEM; timing not reused)
             tile = rows * 128
-            nt = -(-n // tile)
-            comp = [rays["inv_dir"][:, i] for i in range(3)]
-            comp += [rays["org"][:, i] for i in range(3)]
-            comp += [rays["dir"][:, i] for i in range(3)]
-            comp += [rays["tmin"], rays["tmax"]]
-            pad = nt * tile - n
-            if pad:
-                # pad rays must be dead: tmax (index 10) = -1 < tmin
-                comp = [jnp.concatenate(
-                    [c, jnp.full(pad, -1.0 if ci == 10 else 0.0, c.dtype)])
-                    for ci, c in enumerate(comp)]
-            packed = jnp.stack(comp).reshape(11, nt * rows, 128)
+            packed, nt = pp.pack_rays(rays, rows)
             outs = pp._call_kernel(dev, packed, nt, rows, any_hit,
                                    False, count_pops=True, multi=1,
                                    frustum=args.frustum)

@@ -114,13 +114,7 @@ def main():
             dt = (time.perf_counter() - t0) / iters
             mrays = n / dt / 1e6
 
-            tile = rows * 128
-            nt = n // tile
-            comp = [rays["inv_dir"][:, i] for i in range(3)]
-            comp += [rays["org"][:, i] for i in range(3)]
-            comp += [rays["dir"][:, i] for i in range(3)]
-            comp += [rays["tmin"], rays["tmax"]]
-            packed = jnp.stack(comp).reshape(11, nt * rows, 128)
+            packed, nt = pp.pack_rays(rays, rows)
             outs = pp._call_kernel(dev, packed, nt, rows, False,
                                    False, count_pops=True)
             cnt = np.asarray(outs[5])[::8, 0]

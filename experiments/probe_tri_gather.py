@@ -161,7 +161,7 @@ def part_loop():
     from rodent_tpu.traversal import pallas_packet as pp
     from rodent_tpu.traversal.sorting import sort_rays
     from rodent_tpu.utils.testscenes import (hall_primary_rays, make_hall,
-                                             hall_secondary_rays)
+                                             secondary_rays_from_trace)
 
     verts, idx = make_hall(260_000)
     bvh = build_bvh(verts, idx, arity=8, packet=8, leaf_threshold=12)
@@ -178,20 +178,13 @@ def part_loop():
     hit_un = pp.traverse_packet(dev, prim)
     t = np.asarray(hit_un["t"])
     pid = np.asarray(hit_un["prim_id"])
-    t = np.where(pid >= 0, t, 1.0)
-    hp = org + dirs * t[:, None]
-    i4 = idx.reshape(-1, 4)
-    tri = np.maximum(pid, 0)
-    v0, v1, v2 = verts[i4[tri, 0]], verts[i4[tri, 1]], verts[i4[tri, 2]]
-    fnrm = np.cross(v0 - v1, v2 - v0)
-    fnrm = np.where((fnrm * dirs).sum(1, keepdims=True) > 0, -fnrm, fnrm)
 
     for kind in ("ao", "bounces"):
         any_hit = kind == "ao"
-        o2, d2, tmax2 = hall_secondary_rays(kind, hp, fnrm)
+        o2, d2, tmin2, tmax2 = secondary_rays_from_trace(
+            kind, org, dirs, t, pid, verts, idx.reshape(-1, 4))
         rays2 = make_rays(jnp.asarray(o2), jnp.asarray(d2),
-                          jnp.full(n, 1e-3, jnp.float32),
-                          jnp.asarray(tmax2))
+                          jnp.asarray(tmin2), jnp.asarray(tmax2))
         rays2, _ = sort_rays(rays2, verts.min(0), verts.max(0))
         for mode in ("plain", "shard-rows", "shard-cmaj"):
             tiled._LEAF_GATHER = mode  # probe hook (see tiled.gather_cols)

@@ -850,57 +850,16 @@ void Builder::build_sbvh_binary() {
 
 extern "C" {
 
-void* rt_bvh_build(const float* verts, const int32_t* idx4,
-                   int64_t num_tris, int arity, int packet,
-                   int leaf_threshold, int quality) {
-    auto* b = new Builder();
-    b->arity = arity;
-    b->packet = packet;
-    // the DP collapse decides the real leaf cuts; keep the binary tree
-    // fine so it has freedom (leaf_threshold kept as a lower bound only)
-    b->leaf_threshold = std::max(std::min(leaf_threshold, 4), 2);
-    b->num_tris = num_tris;
-    b->v0.resize(num_tris);
-    b->v1.resize(num_tris);
-    b->v2.resize(num_tris);
-    b->gid.resize(num_tris);
-    b->tri_box.resize(num_tris);
-    b->center.resize(num_tris);
-    for (int64_t t = 0; t < num_tris; ++t) {
-        auto fetch = [&](int32_t vi) {
-            return Vec3{verts[vi * 3 + 0], verts[vi * 3 + 1],
-                        verts[vi * 3 + 2]};
-        };
-        b->v0[t] = fetch(idx4[t * 4 + 0]);
-        b->v1[t] = fetch(idx4[t * 4 + 1]);
-        b->v2[t] = fetch(idx4[t * 4 + 2]);
-        b->gid[t] = idx4[t * 4 + 3];
-        BBox box;
-        box.lo = vmin(vmin(b->v0[t], b->v1[t]), b->v2[t]);
-        box.hi = vmax(vmax(b->v0[t], b->v1[t]), b->v2[t]);
-        b->tri_box[t] = box;
-        b->center[t] = {(box.lo.x + box.hi.x) * 0.5f,
-                        (box.lo.y + box.hi.y) * 0.5f,
-                        (box.lo.z + box.hi.z) * 0.5f};
-    }
-    if (quality >= 1) {
-        b->build_sbvh_binary();
-    } else {
-        b->build_binary();
-        b->binary_to_dpn();
-    }
-    b->dp_collapse_emit();
-    return b;
-}
-
-// rt_bvh_build with an explicit DP-collapse leaf cost (C_LEAF override;
-// see dp_collapse_emit). leaf_cost <= 0 keeps the default.
+// leaf_cost <= 0 keeps the Builder's default DP-collapse leaf cost
+// (C_LEAF override; see dp_collapse_emit).
 void* rt_bvh_build2(const float* verts, const int32_t* idx4,
                     int64_t num_tris, int arity, int packet,
                     int leaf_threshold, int quality, float leaf_cost) {
     auto* b = new Builder();
     b->arity = arity;
     b->packet = packet;
+    // the DP collapse decides the real leaf cuts; keep the binary tree
+    // fine so it has freedom (leaf_threshold kept as a lower bound only)
     b->leaf_threshold = std::max(std::min(leaf_threshold, 4), 2);
     if (leaf_cost > 0.0f) b->leaf_cost = leaf_cost;
     b->num_tris = num_tris;
@@ -935,6 +894,14 @@ void* rt_bvh_build2(const float* verts, const int32_t* idx4,
     }
     b->dp_collapse_emit();
     return b;
+}
+
+// original ABI entry point: rt_bvh_build2 with the default leaf cost
+void* rt_bvh_build(const float* verts, const int32_t* idx4,
+                   int64_t num_tris, int arity, int packet,
+                   int leaf_threshold, int quality) {
+    return rt_bvh_build2(verts, idx4, num_tris, arity, packet,
+                         leaf_threshold, quality, 0.0f);
 }
 
 int64_t rt_bvh_num_nodes(void* h) {

@@ -49,6 +49,35 @@ def shard_plan(width, height, spp, n_px, n_sp=1):
     }
 
 
+def hlo_cross_device_collectives(hlo_text):
+    """All-reduce lines in compiled HLO that group more than one device.
+
+    Handles both replica_groups syntaxes XLA emits: the brace form
+    ``replica_groups={{0,2},{1,3}}`` (singleton groups ``{{0},{1}}`` are
+    zero-traffic degenerate psums) and the iota form
+    ``replica_groups=[n_groups,group_size]<=[n_devices]`` where only a
+    group_size > 1 moves data. Unknown syntaxes are flagged
+    conservatively so an assertion on the result fails loudly instead of
+    letting a real collective pass unexamined."""
+    out = []
+    for ln in hlo_text.splitlines():
+        if "all-reduce" not in ln or "replica_groups=" not in ln:
+            continue
+        tail = ln.split("replica_groups=", 1)[1]
+        if tail.startswith("{"):
+            first = tail[1:].split("}", 1)[0].lstrip("{")
+            cross = "," in first
+        elif tail.startswith("["):
+            dims = [p for p in tail[1:].split("]", 1)[0].split(",")
+                    if p.strip()]
+            cross = len(dims) != 2 or int(dims[1]) > 1
+        else:  # pragma: no cover - future HLO syntax
+            cross = True
+        if cross:
+            out.append(ln)
+    return out
+
+
 def measure_shard_steps(scene, camera, width, height, spp, n_px, n_sp=1,
                         pool=None, packet=False, sort=False,
                         retire_every=1):

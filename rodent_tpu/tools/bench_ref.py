@@ -69,17 +69,10 @@ def _make_rays(args, verts, idx4, tracer):
     # secondary distributions need primary hit points; generate them with
     # THIS engine so the workload never depends on the code under test
     t, pid, _ = tracer.traverse(org, dirs, 0.0, 3.402823466e38)
-    t = np.where(pid >= 0, t, 1.0)
-    hp = org + dirs * t[:, None]
-    tri = np.maximum(pid, 0)
-    v0 = verts[idx4[tri, 0]]
-    v1 = verts[idx4[tri, 1]]
-    v2 = verts[idx4[tri, 2]]
-    fnrm = np.cross(v0 - v1, v2 - v0)
-    fnrm = np.where((fnrm * dirs).sum(1, keepdims=True) > 0, -fnrm, fnrm)
-    o2, d2, tmax2 = testscenes.hall_secondary_rays(args.dist, hp, fnrm)
+    o2, d2, tmin2, tmax2 = testscenes.secondary_rays_from_trace(
+        args.dist, org, dirs, np.asarray(t), np.asarray(pid), verts, idx4)
     return (np.asarray(o2, np.float32), np.asarray(d2, np.float32),
-            np.full(n, 1e-3, np.float32), np.asarray(tmax2, np.float32))
+            tmin2, np.asarray(tmax2, np.float32))
 
 
 def main(argv=None):
@@ -103,6 +96,8 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=0)
     p.add_argument("-any", "--any", action="store_true",
                    help="exit at the first intersection")
+    p.add_argument("--closest", action="store_true",
+                   help="force closest-hit even for --dist ao")
     p.add_argument("-o", "--output", default=None,
                    help="dump hit t per ray as .fbuf")
     args = p.parse_args(argv)
@@ -111,6 +106,11 @@ def main(argv=None):
     if args.obj and not args.ray:
         p.error("-obj mode needs a -ray file (bench_embree takes both); "
                 "--scene generates its own distributions")
+    # the TPU rows this tool anchors always run ao as any-hit occlusion
+    # (bench.py, tools/benchmark.py); imply it so the default anchor is
+    # like-for-like. --closest restores a closest-hit ao measurement.
+    if args.dist == "ao" and not args.closest:
+        args.any = True
 
     from ..native import RefTracer, available
     if not available():

@@ -1110,6 +1110,25 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     4M-tri scene has ~30 MB of nodes (VMEM-resident) but ~400 MB of
     Tri8 packets."""
     B = rays["org"].shape[0]
+    packed, nt = pack_rays(rays, tile_rows, multi)
+    tile = tile_rows * 128
+
+    outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
+                        pops, scalar_reads, ablate=ablate,
+                        frustum=frustum, tris_hbm=tris_hbm,
+                        nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
+                        multi=multi, prefetch=prefetch)
+    t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
+    t = jnp.where(p < 0, rays["tmax"], t)
+    return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
+
+
+def pack_rays(rays, tile_rows, multi=1):
+    """Pads a ray batch to whole tiles (and a multiple of `multi` tiles)
+    and packs the 11 per-ray components into the kernel's
+    (11, nt*tile_rows, 128) layout. Padding rays carry tmax=-1 so the
+    kernel body treats them as immediately dead. Returns (packed, nt)."""
+    B = rays["org"].shape[0]
     tile = tile_rows * 128
     nt = -(-B // tile)
     if multi > 1 and nt % multi:
@@ -1126,16 +1145,7 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
     comp += [prep(rays["org"][:, i]) for i in range(3)]
     comp += [prep(rays["dir"][:, i]) for i in range(3)]
     comp += [prep(rays["tmin"]), prep(rays["tmax"], fill=-1.0)]
-    packed = jnp.stack(comp).reshape(11, nt * tile_rows, 128)
-
-    outs = _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
-                        pops, scalar_reads, ablate=ablate,
-                        frustum=frustum, tris_hbm=tris_hbm,
-                        nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
-                        multi=multi, prefetch=prefetch)
-    t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
-    t = jnp.where(p < 0, rays["tmax"], t)
-    return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
+    return jnp.stack(comp).reshape(11, nt * tile_rows, 128), nt
 
 
 def _pack_rows(table, force_single=False):

@@ -171,6 +171,27 @@ def hall_secondary_rays(kind, hit_org, hit_n, seed=11, ao_tmax=10.0):
     return org, d.astype(np.float32), tmax
 
 
+def secondary_rays_from_trace(kind, org, dirs, t, prim_id, verts, idx4,
+                              seed=11, ao_tmax=10.0):
+    """Primary-trace results -> the ao/bounces benchmark fixture.
+
+    Single source for the conventions every bench shares (bench.py,
+    tools/bench_ref, experiments/*): misses land on an arbitrary finite
+    point (t=1), normals are geometric and flipped front-facing, and
+    secondary rays start at tmin=1e-3. Returns (org, dir, tmin, tmax)."""
+    t = np.where(prim_id >= 0, t, 1.0).astype(np.float32)
+    hp = org + dirs * t[:, None]
+    tri = np.maximum(prim_id, 0)
+    v0 = verts[idx4[tri, 0]]
+    v1 = verts[idx4[tri, 1]]
+    v2 = verts[idx4[tri, 2]]
+    fnrm = np.cross(v0 - v1, v2 - v0)
+    fnrm = np.where((fnrm * dirs).sum(1, keepdims=True) > 0, -fnrm, fnrm)
+    o2, d2, tmax2 = hall_secondary_rays(kind, hp, fnrm, seed=seed,
+                                        ao_tmax=ao_tmax)
+    return o2, d2, np.full(len(o2), 1e-3, np.float32), tmax2
+
+
 def _param_patch(fn, nu, nv, mat=0, close_u=False):
     """Tessellated parametric surface: fn(uu, vv) -> (..., 3) points."""
     u = np.linspace(0.0, 1.0, nu + 1)

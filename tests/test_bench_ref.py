@@ -101,3 +101,30 @@ def test_bench_ref_cli_output_shape(tmp_path):
     assert int(lines[-1].split()[0]) > 0  # camera rays into the box hit
     from rodent_tpu.io import formats
     assert len(formats.read_fbuf(str(tmp_path / "c.fbuf"))) == 64
+
+
+def test_bench_ref_ao_implies_any_hit(tmp_path):
+    """--dist ao must measure any-hit occlusion by default (the TPU rows
+    it anchors always do); --closest restores closest-hit. The fbuf in
+    any-hit mode holds 0/1 occlusion flags, in closest mode hit
+    distances."""
+    common = [sys.executable, "-m", "rodent_tpu.tools.bench_ref",
+              "--scene", "hall", "--tris", "2000", "--dist", "ao",
+              "--width", "16", "--height", "16", "--bench", "1"]
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"}
+    from rodent_tpu.io import formats
+    out = subprocess.run(common + ["-o", str(tmp_path / "a.fbuf")],
+                         capture_output=True, text=True, cwd="/root/repo",
+                         env=env)
+    assert out.returncode == 0, out.stderr
+    vals = formats.read_fbuf(str(tmp_path / "a.fbuf"))
+    assert set(np.unique(vals)) <= {0.0, 1.0}  # occlusion flags
+    out2 = subprocess.run(common + ["--closest",
+                                    "-o", str(tmp_path / "c.fbuf")],
+                          capture_output=True, text=True,
+                          cwd="/root/repo", env=env)
+    assert out2.returncode == 0, out2.stderr
+    vals2 = formats.read_fbuf(str(tmp_path / "c.fbuf"))
+    hit = vals > 0.5
+    assert hit.any()
+    assert not set(np.unique(vals2[hit])) <= {0.0, 1.0}  # distances

@@ -6,6 +6,7 @@ import pytest
 import jax
 
 from rodent_tpu.parallel import make_mesh, render_iteration_sharded
+from rodent_tpu.parallel.accounting import hlo_cross_device_collectives
 from rodent_tpu.render.camera import Camera
 from rodent_tpu.render.compiler import compile_obj
 from rodent_tpu.render import film as film_mod
@@ -171,20 +172,32 @@ def test_shard_accounting_and_collective_volume(cornell):
             return film_local + jax.lax.psum(delta, "sp")
 
         txt = jax.jit(step).lower(scene, film).compile().as_text()
-        ar_lines = [ln for ln in txt.splitlines() if "all-reduce" in ln
-                    and "replica_groups" in ln]
+        # robust to both replica_groups syntaxes (brace and iota forms);
+        # a degenerate psum over a 1-member axis may survive as an
+        # all-reduce with singleton groups — zero cross-device traffic
+        cross = hlo_cross_device_collectives(txt)
         if expect_ar == 0:
-            # a degenerate psum over a 1-member axis may survive as an
-            # all-reduce with SINGLETON replica groups — zero cross-
-            # device traffic; anything grouping >1 device is a bug
-            for ln in ar_lines:
-                groups = ln.split("replica_groups={")[1].split("}}")[0]
-                assert "," not in groups.split("},{")[0], (
-                    f"cross-device collective at n_sp=1: {ln[:160]}")
+            assert not cross, (
+                f"cross-device collective at n_sp=1: {cross[0][:160]}")
         else:
-            assert ar_lines, "psum over sp missing from the HLO"
-            # the psum'd operand is the (local, 3) partial film and the
-            # groups pair up the sp ranks
-            assert any(f"f32[{local},3]" in ln for ln in ar_lines)
-            assert any("," in ln.split("replica_groups={")[1]
-                       .split("},{")[0] for ln in ar_lines)
+            assert cross, "psum over sp missing from the HLO"
+            # the psum'd operand is the (local, 3) partial film
+            assert any(f"f32[{local},3]" in ln for ln in cross)
+
+
+def test_hlo_collective_parser_both_syntaxes():
+    """hlo_cross_device_collectives must read both replica_groups forms
+    XLA emits (brace and iota) and flag only >1-member groups."""
+    brace_single = ('  %ar = f32[10,3] all-reduce(%x), '
+                    'replica_groups={{0},{1},{2},{3}}, to_apply=%add')
+    brace_cross = ('  %ar = f32[10,3] all-reduce(%x), '
+                   'replica_groups={{0,2},{1,3}}, to_apply=%add')
+    iota_single = ('  %ar = f32[10,3] all-reduce(%x), '
+                   'replica_groups=[4,1]<=[4], to_apply=%add')
+    iota_cross = ('  %ar = f32[10,3] all-reduce(%x), '
+                  'replica_groups=[2,2]<=[4], to_apply=%add')
+    other = '  %g = f32[10,3] all-gather(%x), replica_groups={{0,1}}'
+    txt = "\n".join([brace_single, brace_cross, iota_single, iota_cross,
+                     other])
+    cross = hlo_cross_device_collectives(txt)
+    assert cross == [brace_cross, iota_cross]

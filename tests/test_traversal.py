@@ -551,3 +551,25 @@ def test_coincident_degenerate_cluster_builds_and_traverses():
                         use_native=use_native, quality=0)
         rays = random_rays(256, seed=91)
         check_match(bvh, rays)
+
+
+def test_pack_rays_pads_to_tiles():
+    """pack_rays pads a non-tile-multiple batch with dead rays (tmax=-1)
+    and rounds the tile count up to a multiple of `multi` (the shared
+    packer used by traverse_packet and the counted-pop harnesses)."""
+    from rodent_tpu.traversal.pallas_packet import pack_rays
+    r = np.random.RandomState(7)
+    n = 1000  # not a multiple of rows*128
+    org = r.randn(n, 3).astype(np.float32)
+    d = r.randn(n, 3).astype(np.float32)
+    rays = make_rays(org, d, np.zeros(n, np.float32),
+                     np.full(n, 9.0, np.float32))
+    packed, nt = pack_rays(rays, tile_rows=4, multi=3)
+    assert nt % 3 == 0 and nt * 4 * 128 >= n
+    assert packed.shape == (11, nt * 4, 128)
+    flat_tmax = np.asarray(packed[10]).reshape(-1)
+    np.testing.assert_array_equal(flat_tmax[:n], 9.0)
+    np.testing.assert_array_equal(flat_tmax[n:], -1.0)
+    # real components land unchanged: inv_dir is components 0..2
+    np.testing.assert_array_equal(
+        np.asarray(packed[3]).reshape(-1)[:n], org[:, 0])
