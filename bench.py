@@ -118,8 +118,11 @@ def main():
                     dev, r, any_hit=ah, compact_stages=5))):
             try:
                 fn2 = rjit(lambda r, ah=any_hit, e=eng: e(r, ah))
+                # 5-block median, same standard as the primary row and
+                # bench_traversal.cpp:336-391 (round-4 VERDICT weak #5:
+                # 3x2 under-sampled the +-9% chip session envelope)
                 mrays2, lo2, hi2, _h = _bench_traversal(fn2, rays2, n,
-                                                        iters=2, blocks=3)
+                                                        iters=2, blocks=5)
             except Exception as e:  # keep the driver-run bench alive
                 print(f"# {kind}/{eng_name} failed "
                       f"({type(e).__name__})", file=sys.stderr)
@@ -176,7 +179,7 @@ def main():
         # to 1/3 per call (a per-call fetch deflated this row 15-20%
         # relative to the r3 rows it is compared against)
         bs = []
-        for _ in range(3):
+        for _ in range(5):  # 5-block median: every row, same standard
             t0 = time.perf_counter()
             for _ in range(3):
                 bhit = bfn(bdev, brays)

@@ -20,6 +20,8 @@ are computable without it:
 """
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 
@@ -65,8 +67,15 @@ def hlo_cross_device_collectives(hlo_text):
             continue
         tail = ln.split("replica_groups=", 1)[1]
         if tail.startswith("{"):
-            first = tail[1:].split("}", 1)[0].lstrip("{")
-            cross = "," in first
+            # scan EVERY inner group: any multi-member group is cross-
+            # device traffic; the empty form ``{}`` is XLA's
+            # all-replicas-in-one-group shorthand — real traffic, flagged
+            if tail.startswith("{}"):
+                cross = True
+            else:
+                body = tail.split("}}", 1)[0] + "}}"
+                groups = re.findall(r"\{([^{}]*)\}", body)
+                cross = (not groups) or any("," in g for g in groups)
         elif tail.startswith("["):
             dims = [p for p in tail[1:].split("]", 1)[0].split(",")
                     if p.strip()]

@@ -146,11 +146,24 @@ def render_iteration_persistent_sharded(scene, camera, film, width,
     return out[:total] if total_pad != total else out
 
 
-def traverse_sharded(dev, rays, mesh=None, any_hit=False):
+def traverse_sharded(dev, rays, mesh=None, any_hit=False, engine="tiled",
+                     **engine_kwargs):
     """Scene-replicated, ray-sharded traversal over a device mesh
     (SURVEY.md §2.5: the bench_traversal multi-chip configuration).
     rays are split across all mesh devices along the batch axis; the BVH
-    is replicated; no collectives are needed (results shard like rays)."""
+    is replicated; no collectives are needed (results shard like rays).
+
+    engine selects the per-device kernel — the flagship single-chip
+    engines compose unchanged with the mesh (round-4 VERDICT item 5):
+      "tiled"        XLA dual-queue (traverse_tiled; default)
+      "packet"       Pallas shared-stack kernel, BVH in VMEM
+      "packet-hbm"   packet big-scene mode (Tri table in HBM)
+      "packet-giga"  packet giga mode (nodes + tris in HBM)
+    engine_kwargs pass through to the engine (tile_rows, multi, ...).
+    Off-TPU the packet engines run in Pallas interpret mode (the
+    _call_kernel fallback), so the composition is testable on a CPU mesh.
+    """
+    from ..traversal.pallas_packet import traverse_packet
     from ..traversal.tiled import traverse_tiled
 
     if mesh is None:
@@ -167,10 +180,23 @@ def traverse_sharded(dev, rays, mesh=None, any_hit=False):
                 [x, jnp.full((b_pad - b,) + x.shape[1:], fill, x.dtype)])
         rays = {k: padded(k, v) for k, v in rays.items()}
 
+    if engine == "tiled":
+        def run(dev_local, local_rays):
+            return traverse_tiled(dev_local, local_rays, any_hit=any_hit,
+                                  **engine_kwargs)
+    elif engine in ("packet", "packet-hbm", "packet-giga"):
+        def run(dev_local, local_rays):
+            return traverse_packet(
+                dev_local, local_rays, any_hit=any_hit,
+                tris_hbm=engine in ("packet-hbm", "packet-giga"),
+                nodes_hbm=engine == "packet-giga", **engine_kwargs)
+    else:
+        raise ValueError(f"unknown traversal engine {engine!r}")
+
     @partial(jax.shard_map, mesh=flat, in_specs=(P(), P("rays")),
              out_specs=P("rays"), check_vma=False)
     def step(dev_local, local_rays):
-        return traverse_tiled(dev_local, local_rays, any_hit=any_hit)
+        return run(dev_local, local_rays)
 
     # dev as replicated argument, not closure capture (see
     # render_iteration_sharded): constants don't scale to 0.5 GB BVHs

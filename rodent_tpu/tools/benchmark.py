@@ -273,7 +273,9 @@ def _render_one(args, sizes, scene_name, W, H, spp):
         times.append(time.perf_counter() - t0)
     ms = np.sort(W * H * spp / np.asarray(times) / 1e6)
     mean_lum = float(np.asarray(film).mean()) / (args.iters + 1)
-    eng = policy.get("packet", False) or f"tiled-c{policy.get('compact', 0)}"
+    p = policy.get("packet", False)
+    eng = {True: "packet", False: f"tiled-c{policy.get('compact', 0)}"}.get(
+        p, p)  # string values ("dense", "hbm", ...) print as themselves
     print(f"{scene_name} : render({W}x{H} spp{spp} mpl{args.mpl}, "
           f"traversal={eng}) : "
           f"{ms[len(ms) // 2]:.2f} Msamples/s "

@@ -607,8 +607,6 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             sptr, _, t_cur, u_b, v_b, p_b, g_b = c
         else:
             sptr, t_cur, u_b, v_b, p_b, g_b = c
-        if count_pops:
-            cnt_sm[0] = cnt_sm[0] + 1
 
         # pop up to `pops` entries up-front: their slab tests and the
         # vector->scalar key reductions are independent, so the hardware
@@ -622,11 +620,15 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
             codes.append(code)
             sptr = jnp.where(valid, top, sptr)
         if count_pops:
-            # second counter: LEAF pops alone (each is one Tri-row fetch;
-            # in tris_hbm mode, one HBM DMA) — the node/leaf split is the
-            # attribution the big-scene transport levers need
-            cnt_sm[1] = cnt_sm[1] + jnp.where(codes[0] < 0,
-                                              jnp.int32(1), jnp.int32(0))
+            # counter 0: ALL retired entries; counter 1: LEAF pops alone
+            # (each is one Tri-row fetch; in tris_hbm mode, one HBM DMA) —
+            # the node/leaf split is the attribution the big-scene
+            # transport levers need. Both sum over every popped code so
+            # pops>1 counts exactly (ADVICE r4 low).
+            one, zro = jnp.int32(1), jnp.int32(0)
+            for code in codes:
+                cnt_sm[0] = cnt_sm[0] + jnp.where(code != 0, one, zro)
+                cnt_sm[1] = cnt_sm[1] + jnp.where(code < 0, one, zro)
 
         # done-ray deactivation (any-hit): a ray that already has its
         # hit is tested at t=-inf from here on, so it stops contributing
