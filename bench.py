@@ -70,21 +70,21 @@ def main():
     # octant+Morton ordering: coherent tiles cut the packet kernel's
     # shared-stack union divergence
     prim_sorted, _ = sort_rays(prim, verts.min(0), verts.max(0))
-    # 32x1 and 24x1 tied at the top of both round-4 interleaved rows x
-    # multi sweeps (ab_primary_config, results_tpu_r4.txt: 32x1
-    # 63.4/66.4, 24x1 68.0, inside the session band); race both and
-    # report the best, as the reference's tables list the best variant
-    # per row. ao/bounces below keep the 16x2 default (their measured
-    # winner in the same harness).
+    # round 5: the carry-top body (next pop in the while carry +
+    # min-fold child select, _kernel_ct) wins at 32x1 (71.2 vs legacy
+    # 67.0, experiments/measure_ct.py) and ties legacy at 24x1
+    # (69.2/69.1); race ct-32x1 vs ct-24x1 and report the best, as the
+    # reference's tables list the best variant per row. ao/bounces
+    # below keep the legacy 16x2 default (their measured winner).
     mrays_primary, p_lo, p_hi, hit = 0.0, 0.0, 0.0, None
     for rows in (32, 24):
         fn_packet = rjit(lambda r, rr=rows: traverse_packet(
-            dev, r, tile_rows=rr, multi=1))
+            dev, r, tile_rows=rr, multi=1, carry_top=True))
         m, lo, hi, h = _bench_traversal(fn_packet, prim_sorted, n)
-        detail[f"primary_{rows}x1_mrays"] = round(m, 2)
+        detail[f"primary_ct{rows}x1_mrays"] = round(m, 2)
         if m > mrays_primary:
             mrays_primary, p_lo, p_hi, hit = m, lo, hi, h
-            detail["primary_config"] = f"{rows}x1"
+            detail["primary_config"] = f"ct-{rows}x1"
     detail["primary_mrays"] = round(mrays_primary, 2)
     detail["primary_band"] = [round(p_lo, 2), round(p_hi, 2)]
     detail["primary_hit_fraction"] = round(float(jnp.mean(

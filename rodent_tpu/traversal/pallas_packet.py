@@ -73,7 +73,24 @@ FRUSTUM = False  # row-frustum node tests (conservative, ~5x fewer ops)
 LEAF_CHAIN = 1   # Tri packets consumed per leaf pop (chained leaves)
 MULTI = 2        # independent tiles per grid step (interleaved pop chains)
 PREFETCH = True  # exact next-pop DMA prefetch in the HBM modes (below)
+CARRY_TOP = False  # round-5 body: next pop in the while carry (_kernel_ct).
+# Measured (measure_ct.py, results_tpu_r5.txt): ct-fold 32x1 71.2 vs
+# legacy 32x1 67.0 (+6%), tie at 24x1 — primary/coherent callers pass
+# carry_top=True, rows=32. Default stays False because carry_top demotes
+# multi, and 16x2 legacy remains the measured ao/bounces winner.
+SELECT = "fold"  # carry-top child selection: "fold" (min-fold) | "sort"
+# ("sort" = exact near-order pushes: measured no better — slot-order
+# sibling pushes inflate pops within noise)
+FMA_SLAB = True  # carry-top slab form: b*inv + inv_org (clamped inv).
+# A/B flat: Mosaic/LLO fuses mul+add either way (results_tpu_r5.txt)
 _F32_MAX = 3.402823466e38  # python float: jnp scalars would be captured consts
+# FMA-slab inv_dir clamp (carry-top body): safe_rcp's +-FLT_MAX would let
+# b*inv overflow to inf and the fused slab form produce inf + (-inf) =
+# NaN for axis-parallel rays; +-2^62 keeps every product finite for
+# |bound| < 3e20 while still dwarfing any real t interval, so slab
+# accept/reject decisions match the unfused form (ULP-level t
+# differences only at grazing boundaries).
+_INV_CAP = float(2.0 ** 62)
 
 
 def _pf_helpers(pref_ref, tris_ref, tri_buf, tri_sem,
@@ -215,14 +232,56 @@ def _next_top(childs, peek):
 # single-tile and multi-tile kernels (the control-flow/DMA structure
 # around them legitimately differs and stays per-kernel).
 
-def _slab_parts(rd, arity, pos, org, inv_d, tmin, t_cur, pure):
+def _slab_parts(rd, arity, pos, org, inv_d, tmin, t_cur, pure, io=None):
     """Per-child slab tests of one node row against the whole tile.
     Returns the per-child (1, 128) sublane-reduced min-entry keys
     (+inf where no ray hits the child). pure=True uses the per-tile
     scalar near/far select (the reference's ordered_bbox trick,
-    intersection.impala:194-202, lifted to tile granularity)."""
+    intersection.impala:194-202, lifted to tile granularity).
+
+    io != None switches to the reference's fused form b*inv + inv_org
+    (intersection.impala:194-196): one FMA per bound instead of
+    sub + mul — 6 fewer (R, 128) ops per child. The caller must pass
+    inv_d CLAMPED to +-2^62 (see _INV_CAP) and io = -(org * inv_d):
+    with the clamp no product overflows to inf for sane scene
+    coordinates, so the fused form cannot produce (inf - inf) = NaN —
+    the hazard that made api._node_test choose the unfused form under
+    safe_rcp's +-FLT_MAX."""
     parts = []
     for c in range(arity):
+        if io is not None:
+            if pure:
+                bs = [jnp.where(pos[k], rd((2 * k) * arity + c),
+                                rd((2 * k + 1) * arity + c))
+                      for k in range(3)]
+                bf = [jnp.where(pos[k], rd((2 * k + 1) * arity + c),
+                                rd((2 * k) * arity + c))
+                      for k in range(3)]
+                ent = jnp.maximum(
+                    jnp.maximum(bs[0] * inv_d[0] + io[0],
+                                bs[1] * inv_d[1] + io[1]),
+                    jnp.maximum(bs[2] * inv_d[2] + io[2], tmin))
+                ext = jnp.minimum(
+                    jnp.minimum(bf[0] * inv_d[0] + io[0],
+                                bf[1] * inv_d[1] + io[1]),
+                    jnp.minimum(bf[2] * inv_d[2] + io[2], t_cur))
+            else:
+                tx0 = rd(0 * arity + c) * inv_d[0] + io[0]
+                tx1 = rd(1 * arity + c) * inv_d[0] + io[0]
+                ty0 = rd(2 * arity + c) * inv_d[1] + io[1]
+                ty1 = rd(3 * arity + c) * inv_d[1] + io[1]
+                tz0 = rd(4 * arity + c) * inv_d[2] + io[2]
+                tz1 = rd(5 * arity + c) * inv_d[2] + io[2]
+                ent = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                              jnp.minimum(ty0, ty1)),
+                                  jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+                ext = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                              jnp.maximum(ty0, ty1)),
+                                  jnp.minimum(jnp.maximum(tz0, tz1),
+                                              t_cur))
+            parts.append(jnp.min(jnp.where(ent <= ext, ent, _F32_MAX),
+                                 axis=0, keepdims=True))
+            continue
         # (bound - org) * inv_dir: NaN-free for axis-aligned rays
         # (see api._node_test)
         if pure:
@@ -807,6 +866,254 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
         cnt_ref[2:8] = jnp.full((6, 128), cnt_sm[0], jnp.int32)
 
 
+def _kernel_ct(rays_ref, nodes_ref, tris_ref,
+               t_ref, u_ref, v_ref, prim_ref, geom_ref,
+               *rest, arity, m, any_hit, stack_size,
+               node_rpl=2, tri_rpl=2, count_pops=False,
+               select="fold", fma_slab=True, tris_hbm=False,
+               nodes_hbm=False, prefetch=False):
+    """Carry-top body (round 5): the next pop's code rides in the
+    while_loop CARRY instead of SMEM — the reference's top-in-registers
+    stack trick (src/traversal/stack.impala:25-50) at tile granularity.
+
+    vs _kernel (measured motivation: per-pop ~600 ns of scalar/small-
+    vector ISSUE that multi-tile interleaving could not hide):
+    - pop: no SMEM load on the critical path — the carried code feeds
+      the row load directly; the stack peek (needed only when a pop
+      pushes nothing) is read once at body start from the PRE-push
+      sptr, off the chain.
+    - push: the nearest child never round-trips through SMEM; it
+      becomes the next carried code. Siblings go to SMEM as before.
+    - select="fold": replace the arity-8 Batcher sort network (19
+      compare-swaps x 4 scalar selects on the chain) with a single
+      min-fold (7 x 2 selects) picking the nearest child; siblings are
+      pushed in slot order (pop inflation vs extract savings is the
+      measured trade — VERDICT r4 item 1b). select="sort" keeps exact
+      near-order pushes.
+    - fma_slab: fused b*inv + inv_org slab (see _slab_parts).
+
+    Hit semantics identical to _kernel (parity-tested); supports the
+    HBM modes + exact next-pop prefetch (prediction is free here: the
+    next code IS the carry)."""
+    rest = list(rest)
+    if prefetch:
+        pref_ref = rest.pop()
+    if nodes_hbm:
+        node_buf, node_sem = rest[-2:]
+        rest = rest[:-2]
+    if tris_hbm:
+        tri_buf, tri_sem = rest[-2:]
+        rest = rest[:-2]
+    if count_pops:
+        cnt_ref, stack_ref, cnt_sm = rest
+    else:
+        (stack_ref,) = rest
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if prefetch:
+        pf_init, pf_predict, pf_tri_row, pf_node_row, pf_drain = \
+            _pf_helpers(pref_ref, tris_ref,
+                        tri_buf if tris_hbm else None,
+                        tri_sem if tris_hbm else None,
+                        nodes_ref,
+                        node_buf if nodes_hbm else None,
+                        node_sem if nodes_hbm else None,
+                        node_rpl, tris_hbm, nodes_hbm)
+
+    def load_row(ref, idx, rpl):
+        if rpl == 1:
+            row = ref[pl.ds(idx, 1), :]
+        else:
+            row = ref[pl.ds(idx // 2, 1), :]
+            row = pltpu.roll(row, -(idx % 2) * 64, axis=1)
+        row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+        return (lambda j: row[0, j]), (lambda j: row_i[0, j])
+
+    inv_raw = [rays_ref[i] for i in range(3)]      # (TR, 128) each
+    org = [rays_ref[3 + i] for i in range(3)]
+    dirv = [rays_ref[6 + i] for i in range(3)]
+    tmin = rays_ref[9]
+    tmax = rays_ref[10]
+    if fma_slab:
+        inv_d = [jnp.clip(v, -_INV_CAP, _INV_CAP) for v in inv_raw]
+        io = [-(org[k] * inv_d[k]) for k in range(3)]
+    else:
+        inv_d = inv_raw
+        io = None
+
+    if prefetch:
+        pf_init()
+    if count_pops:
+        cnt_sm[0] = jnp.int32(0)
+        cnt_sm[1] = jnp.int32(0)
+
+    pos = [jnp.min((inv_raw[k] >= 0.0).astype(jnp.int32)) == 1
+           for k in range(3)]
+    neg = [jnp.min((inv_raw[k] < 0.0).astype(jnp.int32)) == 1
+           for k in range(3)]
+    tile_pure = (pos[0] | neg[0]) & (pos[1] | neg[1]) & (pos[2] | neg[2])
+
+    zero = jnp.int32(0)
+
+    def load_node_row(code):
+        if nodes_hbm:
+            if prefetch:
+                slot = pf_node_row(code)
+            else:
+                cp = pltpu.make_async_copy(
+                    nodes_ref.at[pl.ds((code - 1) // node_rpl, 1)],
+                    node_buf.at[pl.ds(0, 1)], node_sem)
+                cp.start()
+                cp.wait()
+                slot = 0
+            row = node_buf[pl.ds(slot, 1), :]
+            if node_rpl == 2:
+                row = pltpu.roll(row, -((code - 1) % 2) * 64, axis=1)
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            return (lambda j: row[0, j]), (lambda j: row_i[0, j])
+        return load_row(nodes_ref, code - 1, node_rpl)
+
+    def cond(c):
+        if any_hit:
+            return (c[0] != 0) & jnp.logical_not(c[2])
+        return c[0] != 0
+
+    def body(c):
+        if any_hit:
+            code, sptr, _, t_cur, u_b, v_b, p_b, g_b = c
+        else:
+            code, sptr, t_cur, u_b, v_b, p_b, g_b = c
+        if count_pops:
+            cnt_sm[0] = cnt_sm[0] + jnp.int32(1)
+            cnt_sm[1] = cnt_sm[1] + jnp.where(code < 0, jnp.int32(1),
+                                              zero)
+        # stack peek: the next pop when this one pushes nothing — read
+        # from the PRE-push sptr at body start, off the serial chain
+        can = sptr > 0
+        peek = stack_ref[jnp.maximum(sptr - 1, zero)]
+        fallback = jnp.where(can, peek, zero)
+
+        if any_hit:
+            t_test = jnp.where(p_b >= 0, jnp.float32(-_F32_MAX), t_cur)
+        else:
+            t_test = t_cur
+        carry = (t_cur, u_b, v_b, p_b, g_b)
+
+        def do_node(_):
+            rd, rdi = load_node_row(code)
+
+            def pure_body(_):
+                return _slab_parts(rd, arity, pos, org, inv_d, tmin,
+                                   t_test, True, io=io)
+
+            def mixed_body(_):
+                return _slab_parts(rd, arity, pos, org, inv_d, tmin,
+                                   t_test, False, io=io)
+
+            parts = jax.lax.cond(tile_pure, pure_body, mixed_body, None)
+            keys8 = jnp.min(jnp.concatenate(parts, axis=0), axis=1)
+            keys = []
+            childs = []
+            for cx in range(arity):
+                key = keys8[cx]
+                child = rdi(6 * arity + cx)
+                ok = (child != 0) & (key < _F32_MAX)
+                keys.append(jnp.where(ok, key, _F32_MAX))
+                childs.append(jnp.where(ok, child, 0))
+            if any_hit:
+                # order is irrelevant once any hit terminates: next =
+                # first valid child, siblings pushed by code inequality
+                best = zero
+                for cx in reversed(range(arity)):
+                    best = jnp.where(childs[cx] != 0, childs[cx], best)
+            elif select == "sort":
+                _sort_children(keys, childs, arity)
+                best = childs[0]
+            else:
+                bk = keys[0]
+                best = childs[0]
+                for cx in range(1, arity):
+                    sw = keys[cx] < bk
+                    bk = jnp.where(sw, keys[cx], bk)
+                    best = jnp.where(sw, childs[cx], best)
+            if prefetch:
+                pf_predict(jnp.where(best != 0, best, fallback))
+            return carry + (best,) + tuple(childs)
+
+        def do_leaf(_):
+            t_c, u_c, v_c, p_c, g_c = carry
+            if tris_hbm:
+                if prefetch:
+                    slot = pf_tri_row(code)
+                else:
+                    cp = pltpu.make_async_copy(
+                        tris_ref.at[pl.ds(~code, 1)],
+                        tri_buf.at[pl.ds(0, 1)], tri_sem)
+                    cp.start()
+                    cp.wait()
+                    slot = 0
+                row = tri_buf[pl.ds(slot, 1), :]
+                row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+                rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
+            else:
+                rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+            cont = jnp.where(rdi(12 * m + m - 1) < 0, zero, code - 1)
+            if prefetch:
+                # continuation is metadata-only: the next pop is known
+                # BEFORE the MT math, so its DMA flies during it
+                pf_predict(jnp.where(cont != 0, cont, fallback))
+            c2, _ = _mt_lanes(rd, rdi, m, org, dirv, tmin, t_test,
+                              (t_c, u_c, v_c, p_c, g_c))
+            return c2 + (cont,) + (zero,) * arity
+
+        out = jax.lax.cond(code > 0, do_node, do_leaf, None)
+        carry = out[:5]
+        best = out[5]
+        childs = out[6:]
+        # push siblings far-to-near (codes are unique per node, so best
+        # matches at most one slot — under select="sort" that is slot 0
+        # and the nearest sibling ends on top); nothing pushes when
+        # best == 0
+        for cx in reversed(range(arity)):
+            ok = (childs[cx] != 0) & (childs[cx] != best)
+            stack_ref[jnp.where(ok, sptr, stack_size - 1)] = childs[cx]
+            sptr = sptr + jnp.where(ok, 1, 0)
+        pop_needed = best == 0
+        next_code = jnp.where(pop_needed, fallback, best)
+        sptr = sptr - jnp.where(pop_needed & can, 1, 0)
+
+        t2, u2, v2, p2, g2 = carry
+        if any_hit:
+            all_done = jnp.min(jnp.where(tmax < tmin, 1,
+                                         (p2 >= 0).astype(jnp.int32))) > 0
+            return (next_code, sptr, all_done, t2, u2, v2, p2, g2)
+        return (next_code, sptr, t2, u2, v2, p2, g2)
+
+    init_hits = (tmax,
+                 jnp.zeros_like(tmax),
+                 jnp.zeros_like(tmax),
+                 jnp.full(tmax.shape, -1, jnp.int32),
+                 jnp.full(tmax.shape, -1, jnp.int32))
+    if any_hit:
+        init = (jnp.int32(1), zero, jnp.bool_(False)) + init_hits
+    else:
+        init = (jnp.int32(1), zero) + init_hits
+    out = jax.lax.while_loop(cond, body, init)
+    if prefetch:
+        pf_drain()
+    t_b, u_b, v_b, p_b, g_b = out[-5:]
+    t_ref[:] = t_b
+    u_ref[:] = u_b
+    v_ref[:] = v_b
+    prim_ref[:] = p_b
+    geom_ref[:] = g_b
+    if count_pops:
+        cnt_ref[0:1] = jnp.full((1, 128), cnt_sm[0], jnp.int32)
+        cnt_ref[1:2] = jnp.full((1, 128), cnt_sm[1], jnp.int32)
+        cnt_ref[2:8] = jnp.full((6, 128), cnt_sm[0], jnp.int32)
+
+
 def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                   t_ref, u_ref, v_ref, prim_ref, geom_ref,
                   *rest, arity, m, any_hit, stack_size, tile_rows,
@@ -1069,7 +1376,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                                frustum=FRUSTUM, tris_hbm=False,
                                nodes_hbm=False,
                                leaf_chain=LEAF_CHAIN, multi=MULTI,
-                               prefetch=PREFETCH):
+                               prefetch=PREFETCH, carry_top=CARRY_TOP,
+                               select=SELECT, fma_slab=FMA_SLAB):
     """Component-level packet traversal: Vec3 tuples of (R, 128) arrays in,
     hit dict of (R, 128) arrays out (integrator-facing; dead rays =
     tmax < tmin)."""
@@ -1093,7 +1401,8 @@ def traverse_packet_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                         pops, scalar_reads, frustum=frustum,
                         tris_hbm=tris_hbm, nodes_hbm=nodes_hbm,
                         leaf_chain=leaf_chain, multi=multi,
-                        prefetch=prefetch)
+                        prefetch=prefetch, carry_top=carry_top,
+                        select=select, fma_slab=fma_slab)
     t, u, v, p, g = [o[:R] for o in outs[:5]]
     t = jnp.where(p < 0, tmax, t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -1104,7 +1413,8 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                     scalar_reads=SCALAR_READS, ablate=(),
                     frustum=FRUSTUM, tris_hbm=False, nodes_hbm=False,
                     leaf_chain=LEAF_CHAIN, multi=MULTI,
-                    prefetch=PREFETCH):
+                    prefetch=PREFETCH, carry_top=CARRY_TOP,
+                    select=SELECT, fma_slab=FMA_SLAB):
     """Packet-kernel traversal; same contract as api.traverse.
     Requires the node table to fit in VMEM (~100 MB with the raised
     limit). tris_hbm=True keeps the (much larger) triangle table in HBM
@@ -1119,7 +1429,9 @@ def traverse_packet(dev, rays, any_hit=False, tile_rows=TILE_ROWS,
                         pops, scalar_reads, ablate=ablate,
                         frustum=frustum, tris_hbm=tris_hbm,
                         nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
-                        multi=multi, prefetch=prefetch)
+                        multi=multi, prefetch=prefetch,
+                        carry_top=carry_top, select=select,
+                        fma_slab=fma_slab)
     t, u, v, p, g = [o.reshape(nt * tile)[:B] for o in outs[:5]]
     t = jnp.where(p < 0, rays["tmax"], t)
     return {"t": t, "u": u, "v": v, "prim_id": p, "geom_id": g}
@@ -1168,24 +1480,33 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                  pops=POPS, scalar_reads=SCALAR_READS, count_pops=False,
                  ablate=(), frustum=FRUSTUM, tris_hbm=False,
                  nodes_hbm=False, leaf_chain=LEAF_CHAIN, multi=MULTI,
-                 prefetch=PREFETCH):
+                 prefetch=PREFETCH, carry_top=CARRY_TOP, select=SELECT,
+                 fma_slab=FMA_SLAB):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if nodes_hbm:
-        # giga-scene mode supports the production body only
+    if carry_top and (frustum or scalar_reads or pops > 1 or ablate
+                      or leaf_chain > 1):
+        # diagnostic/rejected options live in the legacy body only
+        carry_top = False
+    if nodes_hbm and not carry_top:
+        # giga-scene mode supports the production bodies only
         assert not (frustum or scalar_reads or pops > 1 or count_pops), \
             "nodes_hbm supports the production kernel body only"
     # diagnostic options (pop counters, ablations, frustum tests, scalar
-    # loads, pops>1) exist in the single-tile body only — demote multi so
-    # they are honored instead of silently dropped (callers pad nt to a
-    # multiple of multi, which stays valid for multi=1)
-    if count_pops or ablate or frustum or scalar_reads or pops > 1:
+    # loads, pops>1) exist in the single-tile bodies only — demote multi
+    # so they are honored instead of silently dropped (callers pad nt to
+    # a multiple of multi, which stays valid for multi=1)
+    if count_pops or ablate or frustum or scalar_reads or pops > 1 \
+            or carry_top:
         multi = 1
-    # next-pop prefetch applies to the HBM modes' production body only
-    prefetch = bool(prefetch and (tris_hbm or nodes_hbm) and pops == 1
-                    and not count_pops and not ablate and not frustum
+    # next-pop prefetch applies to the HBM modes' production bodies only
+    prefetch = bool(prefetch and (tris_hbm or nodes_hbm)
+                    and (carry_top or (pops == 1 and not count_pops))
+                    and not ablate and not frustum
                     and not scalar_reads)
+    if carry_top and count_pops:
+        prefetch = False
     # no Mosaic off-TPU: fall back to the interpreter automatically so the
     # packet path stays testable on the CPU suite
     interpret = interpret or jax.default_backend() != "tpu"
@@ -1251,14 +1572,24 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
         )(packed, nodes2, tris2)
-    kern = functools.partial(_kernel, arity=arity, m=m, any_hit=any_hit,
-                             stack_size=stack_size,
-                             node_rpl=node_rpl, tri_rpl=tri_rpl, pops=pops,
-                             scalar_reads=scalar_reads,
-                             count_pops=count_pops, ablate=tuple(ablate),
-                             frustum=frustum, tris_hbm=tris_hbm,
-                             nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
-                             prefetch=prefetch)
+    if carry_top:
+        kern = functools.partial(_kernel_ct, arity=arity, m=m,
+                                 any_hit=any_hit, stack_size=stack_size,
+                                 node_rpl=node_rpl, tri_rpl=tri_rpl,
+                                 count_pops=count_pops, select=select,
+                                 fma_slab=fma_slab, tris_hbm=tris_hbm,
+                                 nodes_hbm=nodes_hbm, prefetch=prefetch)
+    else:
+        kern = functools.partial(_kernel, arity=arity, m=m,
+                                 any_hit=any_hit, stack_size=stack_size,
+                                 node_rpl=node_rpl, tri_rpl=tri_rpl,
+                                 pops=pops, scalar_reads=scalar_reads,
+                                 count_pops=count_pops,
+                                 ablate=tuple(ablate),
+                                 frustum=frustum, tris_hbm=tris_hbm,
+                                 nodes_hbm=nodes_hbm,
+                                 leaf_chain=leaf_chain,
+                                 prefetch=prefetch)
     out_shapes = [
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((nt * tile_rows, 128), jnp.float32),

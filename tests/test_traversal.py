@@ -283,6 +283,46 @@ def test_packet_kernel_matches_api():
     np.testing.assert_array_equal(wa, ga)
 
 
+def test_packet_kernel_carry_top_matches_api():
+    """The round-5 carry-top body (_kernel_ct: next pop rides the
+    while carry, stack.impala:25-50 trick; min-fold child select; fused
+    FMA slab) must agree exactly with api.traverse in every mode
+    combination, including any-hit and the HBM/giga DMA paths."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8, packet=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=49)
+    rays2 = random_rays(256, seed=51, tmax=2.0)
+    a = traverse(dev, rays)
+    wa = np.asarray(traverse(dev, rays2, any_hit=True)["prim_id"]) >= 0
+    for kw in ({"select": "fold"},
+               {"select": "sort"},
+               {"select": "fold", "fma_slab": False},
+               {"select": "fold", "tris_hbm": True},
+               {"select": "fold", "tris_hbm": True, "nodes_hbm": True},
+               {"select": "fold", "tris_hbm": True, "nodes_hbm": True,
+                "prefetch": True}):
+        b = traverse_packet(dev, rays, tile_rows=4, carry_top=True, **kw)
+        np.testing.assert_allclose(np.asarray(a["t"]),
+                                   np.asarray(b["t"]),
+                                   atol=1e-5, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                      np.asarray(b["prim_id"]))
+        ga = np.asarray(traverse_packet(dev, rays2, any_hit=True,
+                                        tile_rows=4, carry_top=True,
+                                        **kw)["prim_id"]) >= 0
+        np.testing.assert_array_equal(wa, ga)
+    # pop counters work in the carry-top body too (counted harness path)
+    from rodent_tpu.traversal import pallas_packet as pp
+    packed, nt = pp.pack_rays(rays, 4)
+    outs = pp._call_kernel(dev, packed, nt, 4, False, False,
+                           count_pops=True, carry_top=True)
+    cnt = np.asarray(outs[5])
+    assert int(cnt[::8, 0].sum()) > 0          # total pops counted
+    assert int(cnt[1::8, 0].sum()) > 0         # leaf pops counted
+
+
 def test_packet_kernel_multi_matches_api():
     """The multi-tile kernel (n independent tiles per grid step with
     interleaved pop chains — the VLIW-packing variant) must agree exactly
