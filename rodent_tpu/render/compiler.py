@@ -270,7 +270,8 @@ _MESH_PALETTE = [
 
 def compile_mesh(verts, indices, arity=8, max_path_len=64,
                  emitter="above", emitter_frac=0.30, emitter_power=None,
-                 kds=None, bvh_kwargs=None):
+                 kds=None, bvh_kwargs=None, materials=None,
+                 tex_images=None):
     """Procedural mesh -> CompiledScene (renderable benchmark scenes).
 
     The reference renders its benchmark scenes from full OBJ exports
@@ -282,7 +283,17 @@ def compile_mesh(verts, indices, arity=8, max_path_len=64,
     — placed just under the bbox top when emitter="inside" (enclosed
     interiors like the hall) or slightly above it when "above" (open
     scenes); emitter_frac scales the panel's xz footprint. The device
-    dict is assembled by the same _build_device as compile_obj."""
+    dict is assembled by the same _build_device as compile_obj.
+
+    materials: optional list of obj_io.Material, index = mat id in
+    `indices` (overrides the palette; the emitter is still appended) —
+    the full-MTL bench-scene path (reference bench scenes mix textured/
+    specular/glass shaders, converter.cpp:859-927). tex_images: dict
+    name -> (H, W, 3) linear f32 image backing the materials' map_kd/
+    map_ks references (procedural textures; file-based textures go
+    through compile_obj). Textured scenes get triplanar-projected UVs
+    (dominant-normal-axis planar projection per vertex) since raw
+    procedural geometry carries none."""
     verts = np.asarray(verts, np.float32)
     idx4 = np.asarray(indices, np.int32).reshape(-1, 4).copy()
     lo, hi = verts.min(0), verts.max(0)
@@ -320,14 +331,26 @@ def compile_mesh(verts, indices, arity=8, max_path_len=64,
     vl = np.linalg.norm(vn, axis=1, keepdims=True)
     vn = np.where(vl > 0, vn / np.where(vl > 0, vl, 1),
                   np.asarray([0, 1, 0], np.float32))
+    uv = np.zeros((len(verts), 2), np.float32)
+    if tex_images:
+        # triplanar projection: pick the two coords orthogonal to each
+        # vertex normal's dominant axis, scaled to ~4 world units per
+        # tile (procedural geometry ships no UVs; this gives every
+        # surface stretch-free texture coordinates)
+        ax = np.argmax(np.abs(vn), axis=1)
+        u_axis = np.where(ax == 0, 1, 0)
+        v_axis = np.where(ax == 2, 1, 2)
+        uv = np.stack([verts[np.arange(len(verts)), u_axis],
+                       verts[np.arange(len(verts)), v_axis]],
+                      axis=1).astype(np.float32) * 0.25
     mesh = obj_io.TriMesh(
         vertices=verts.astype(np.float32),
         normals=vn.astype(np.float32),
         face_normals=fn_unit.astype(np.float32),
-        texcoords=np.zeros((len(verts), 2), np.float32),
+        texcoords=uv,
         indices=idx4.reshape(-1).astype(np.int32))
 
-    # ---- materials: palette diffuse + the emitter ----
+    # ---- materials: palette diffuse (or caller MTLs) + the emitter ----
     if emitter_power is None:
         # fixed default radiance: the NEE geometry term scales with the
         # panel area (which tracks the scene bbox via emitter_frac), so a
@@ -335,13 +358,20 @@ def compile_mesh(verts, indices, arity=8, max_path_len=64,
         # range; pass emitter_power explicitly to retune a scene
         emitter_power = 8.0
     mats = []
-    for i in range(n_mats):
-        kd = (kds[i] if kds is not None
-              else _MESH_PALETTE[i % len(_MESH_PALETTE)])
-        mats.append(obj_io.Material(name=f"m{i}", kd=tuple(kd)))
+    if materials is not None:
+        assert len(materials) >= n_mats, \
+            f"scene uses {n_mats} material ids, got {len(materials)}"
+        mats = list(materials[:n_mats])
+    else:
+        for i in range(n_mats):
+            kd = (kds[i] if kds is not None
+                  else _MESH_PALETTE[i % len(_MESH_PALETTE)])
+            mats.append(obj_io.Material(name=f"m{i}", kd=tuple(kd)))
     mats.append(obj_io.Material(name="emitter",
                                 ke=(emitter_power,) * 3))
-    mat_params = [material_to_params(m) for m in mats]
+    tex_files = list(tex_images) if tex_images else []
+    tex_index = {n: i for i, n in enumerate(tex_files)}
+    mat_params = [material_to_params(m, tex_index) for m in mats]
 
     ke_table = np.asarray([p["ke"] for p in mat_params], np.float32)
     emissive_tri = np.asarray(
@@ -353,10 +383,13 @@ def compile_mesh(verts, indices, arity=8, max_path_len=64,
     bvh = build_bvh(mesh.vertices, mesh.indices, arity=arity,
                     **(bvh_kwargs or {}))
     device = _build_device(mesh, mat_params, lights, light_ids, bvh,
-                           max_path_len, num_lights)
+                           max_path_len, num_lights,
+                           tex_images=([tex_images[n] for n in tex_files]
+                                       if tex_files else None))
     return CompiledScene(device=device, mesh=mesh,
                          materials=[m.name for m in mats],
-                         mat_params=mat_params, num_lights=num_lights)
+                         mat_params=mat_params, num_lights=num_lights,
+                         tex_files=tex_files)
 
 
 def load_data_dir(data_dir):

@@ -34,6 +34,11 @@ import numpy as np
 
 _SCENES = {
     "hall": ("make_hall", "hall_primary_rays", 260_000),
+    # mathall: hall geometry with the full-MTL bench materials (textured
+    # kd + phong + mix + glass + mirror columns, mat_hall_materials) —
+    # the reference's bench interiors are full-MTL (bench.sh:9-85,
+    # converter.cpp:859-927); the plain scenes are palette-diffuse only
+    "mathall": ("make_hall", "hall_primary_rays", 260_000),
     "crown": ("make_crown", "crown_primary_rays", 800_000),
     "powerplant": ("make_powerplant", "powerplant_primary_rays",
                    2_000_000),
@@ -215,6 +220,7 @@ def main(argv=None):
 # viewpoints in utils.testscenes)
 _RENDER_CAMS = {
     "hall": ((2.5, 5.0, 5.0), (1.0, -0.12, 0.02), 60.0, "inside"),
+    "mathall": ((2.5, 5.0, 5.0), (1.0, -0.12, 0.02), 60.0, "inside"),
     "crown": ((4.2, 1.8, 1.2), (-4.2, -1.4, -1.2), 42.0, "above"),
     "powerplant": ((-30.0, 60.0, -30.0), (130.0, -40.0, 130.0), 55.0,
                    "above"),
@@ -247,10 +253,17 @@ def _render_one(args, sizes, scene_name, W, H, spp):
 
     make_name, _rays, dflt = _SCENES[scene_name]
     tris = sizes.get(scene_name, dflt)
-    verts, idx = getattr(testscenes, make_name)(tris)
     eye, dirv, fov, emitter = _RENDER_CAMS[scene_name]
-    scene = compile_mesh(verts, idx, max_path_len=args.mpl,
-                         emitter=emitter)
+    if scene_name == "mathall":
+        verts, idx = testscenes.make_hall(tris, rich_mats=True)
+        mats, texs = testscenes.mat_hall_materials()
+        scene = compile_mesh(verts, idx, max_path_len=args.mpl,
+                             emitter=emitter, materials=mats,
+                             tex_images=texs)
+    else:
+        verts, idx = getattr(testscenes, make_name)(tris)
+        scene = compile_mesh(verts, idx, max_path_len=args.mpl,
+                             emitter=emitter)
     # measured per-tier renderer policy (round-4 A/B: the hall/crown
     # tier routes ALL pool traversals to tiled + staged compaction —
     # all-packet 0.122 vs all-tiled 0.521 Msamples/s on hall)

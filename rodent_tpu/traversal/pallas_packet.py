@@ -95,7 +95,7 @@ _INV_CAP = float(2.0 ** 62)
 
 def _pf_helpers(pref_ref, tris_ref, tri_buf, tri_sem,
                 nodes_ref, node_buf, node_sem,
-                node_rpl, tris_hbm, nodes_hbm):
+                node_rpl, tris_hbm, nodes_hbm, tri_lpr=1):
     """Exact next-pop DMA prefetch for the HBM modes (fixes the blocking
     `start(); wait()` serialization of tris_hbm / nodes_hbm pops).
 
@@ -124,8 +124,10 @@ def _pf_helpers(pref_ref, tris_ref, tri_buf, tri_sem,
     zero = jnp.int32(0)
 
     def tri_cp(row, slot):
-        return pltpu.make_async_copy(tris_ref.at[pl.ds(row, 1)],
-                                     tri_buf.at[pl.ds(slot, 1)], tri_sem)
+        # one async copy per Tri row, even multi-line (Tri16 = 2 lines)
+        return pltpu.make_async_copy(
+            tris_ref.at[pl.ds(row * tri_lpr, tri_lpr)],
+            tri_buf.at[pl.ds(slot * tri_lpr, tri_lpr)], tri_sem)
 
     def node_cp(line, slot):
         return pltpu.make_async_copy(nodes_ref.at[pl.ds(line, 1)],
@@ -393,7 +395,7 @@ def _mt_lanes(rd, rdi, m, org, dirv, tmin, t_test, carry):
 def _kernel(rays_ref, nodes_ref, tris_ref,
             t_ref, u_ref, v_ref, prim_ref, geom_ref,
             *rest, arity, m, any_hit, stack_size,
-            node_rpl=2, tri_rpl=2, pops=1, scalar_reads=False,
+            node_rpl=2, tri_rpl=2, tri_lpr=1, pops=1, scalar_reads=False,
             count_pops=False, ablate=(), frustum=False, tris_hbm=False,
             nodes_hbm=False, leaf_chain=1, prefetch=False):
     rest = list(rest)
@@ -429,15 +431,21 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                         nodes_ref,
                         node_buf if nodes_hbm else None,
                         node_sem if nodes_hbm else None,
-                        node_rpl, tris_hbm, nodes_hbm)
+                        node_rpl, tris_hbm, nodes_hbm, tri_lpr)
 
-    def load_row(ref, idx, rpl):
+    def load_row(ref, idx, rpl, lpr=1):
         """Returns (f32_reader, i32_reader) closures for lane j of row
         idx. scalar_reads=True (requires 1 row/line) issues direct scalar
         VMEM loads — avoiding the vector-load + per-lane extract, which
         costs a vector->scalar transfer per field; otherwise loads the
         whole line once (rpl rows/line; dynamic lane offsets cannot
-        lower, dynamic rotate can)."""
+        lower, dynamic rotate can). lpr > 1: the row spans lpr
+        consecutive lines (Tri16); lane j lives at [j//128, j%128]."""
+        if lpr > 1:
+            row = ref[pl.ds(idx * lpr, lpr), :]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            return ((lambda j: row[j // 128, j % 128]),
+                    (lambda j: row_i[j // 128, j % 128]))
         if scalar_reads and rpl == 1:
             def rd(j):
                 return ref[idx, j]
@@ -610,17 +618,18 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
                 # blocking wait — the ~1-2 us latency replaces the XLA
                 # path's per-ray row gathers, amortized over the whole
                 # tile
-                cp = pltpu.make_async_copy(tris_ref.at[pl.ds(~code, 1)],
-                                           tri_buf.at[pl.ds(0, 1)],
-                                           tri_sem)
+                cp = pltpu.make_async_copy(
+                    tris_ref.at[pl.ds((~code) * tri_lpr, tri_lpr)],
+                    tri_buf.at[pl.ds(0, tri_lpr)], tri_sem)
                 cp.start()
                 cp.wait()
                 slot = 0
-            row = tri_buf[pl.ds(slot, 1), :]
+            row = tri_buf[pl.ds(slot * tri_lpr, tri_lpr), :]
             row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
-            rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
+            rd, rdi = ((lambda j: row[j // 128, j % 128]),
+                       (lambda j: row_i[j // 128, j % 128]))
         else:
-            rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+            rd, rdi = load_row(tris_ref, ~code, tri_rpl, tri_lpr)
         if prefetch:
             # continuation is metadata-only: the next pop is known BEFORE
             # the lane tests, so its DMA flies during the MT math below
@@ -869,7 +878,7 @@ def _kernel(rays_ref, nodes_ref, tris_ref,
 def _kernel_ct(rays_ref, nodes_ref, tris_ref,
                t_ref, u_ref, v_ref, prim_ref, geom_ref,
                *rest, arity, m, any_hit, stack_size,
-               node_rpl=2, tri_rpl=2, count_pops=False,
+               node_rpl=2, tri_rpl=2, tri_lpr=1, count_pops=False,
                select="fold", fma_slab=True, tris_hbm=False,
                nodes_hbm=False, prefetch=False):
     """Carry-top body (round 5): the next pop's code rides in the
@@ -919,9 +928,14 @@ def _kernel_ct(rays_ref, nodes_ref, tris_ref,
                         nodes_ref,
                         node_buf if nodes_hbm else None,
                         node_sem if nodes_hbm else None,
-                        node_rpl, tris_hbm, nodes_hbm)
+                        node_rpl, tris_hbm, nodes_hbm, tri_lpr)
 
-    def load_row(ref, idx, rpl):
+    def load_row(ref, idx, rpl, lpr=1):
+        if lpr > 1:
+            row = ref[pl.ds(idx * lpr, lpr), :]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            return ((lambda j: row[j // 128, j % 128]),
+                    (lambda j: row_i[j // 128, j % 128]))
         if rpl == 1:
             row = ref[pl.ds(idx, 1), :]
         else:
@@ -1048,16 +1062,17 @@ def _kernel_ct(rays_ref, nodes_ref, tris_ref,
                     slot = pf_tri_row(code)
                 else:
                     cp = pltpu.make_async_copy(
-                        tris_ref.at[pl.ds(~code, 1)],
-                        tri_buf.at[pl.ds(0, 1)], tri_sem)
+                        tris_ref.at[pl.ds((~code) * tri_lpr, tri_lpr)],
+                        tri_buf.at[pl.ds(0, tri_lpr)], tri_sem)
                     cp.start()
                     cp.wait()
                     slot = 0
-                row = tri_buf[pl.ds(slot, 1), :]
+                row = tri_buf[pl.ds(slot * tri_lpr, tri_lpr), :]
                 row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
-                rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
+                rd, rdi = ((lambda j: row[j // 128, j % 128]),
+                           (lambda j: row_i[j // 128, j % 128]))
             else:
-                rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+                rd, rdi = load_row(tris_ref, ~code, tri_rpl, tri_lpr)
             cont = jnp.where(rdi(12 * m + m - 1) < 0, zero, code - 1)
             if prefetch:
                 # continuation is metadata-only: the next pop is known
@@ -1117,8 +1132,9 @@ def _kernel_ct(rays_ref, nodes_ref, tris_ref,
 def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                   t_ref, u_ref, v_ref, prim_ref, geom_ref,
                   *rest, arity, m, any_hit, stack_size, tile_rows,
-                  n_way, node_rpl=2, tri_rpl=2, tris_hbm=False,
-                  nodes_hbm=False, leaf_chain=1, prefetch=False):
+                  n_way, node_rpl=2, tri_rpl=2, tri_lpr=1,
+                  tris_hbm=False, nodes_hbm=False, leaf_chain=1,
+                  prefetch=False):
     """n_way independent ray tiles per grid step, one fused loop.
 
     The single-tile kernel's per-pop cost is ~600 ns of poorly-packed
@@ -1153,7 +1169,12 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def load_row(ref, idx, rpl):
+    def load_row(ref, idx, rpl, lpr=1):
+        if lpr > 1:
+            row = ref[pl.ds(idx * lpr, lpr), :]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            return ((lambda j: row[j // 128, j % 128]),
+                    (lambda j: row_i[j // 128, j % 128]))
         if rpl == 1:
             row = ref[pl.ds(idx, 1), :]
         else:
@@ -1179,7 +1200,7 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
             pf_init, pf_predict, pf_tri_row, pf_node_row, pf_drain = \
                 _pf_helpers(pref_ref, tris_ref, tri_buf, tri_sem,
                             nodes_ref, node_buf, node_sem,
-                            node_rpl, tris_hbm, nodes_hbm)
+                            node_rpl, tris_hbm, nodes_hbm, tri_lpr)
             pf_init()
         else:
             pf_drain = None
@@ -1225,16 +1246,17 @@ def _kernel_multi(rays_ref, nodes_ref, tris_ref,
                     slot = pf_tri_row(code)
                 else:
                     cp = pltpu.make_async_copy(
-                        tris_ref.at[pl.ds(~code, 1)],
-                        tri_buf.at[pl.ds(0, 1)], tri_sem)
+                        tris_ref.at[pl.ds((~code) * tri_lpr, tri_lpr)],
+                        tri_buf.at[pl.ds(0, tri_lpr)], tri_sem)
                     cp.start()
                     cp.wait()
                     slot = 0
-                row = tri_buf[pl.ds(slot, 1), :]
+                row = tri_buf[pl.ds(slot * tri_lpr, tri_lpr), :]
                 row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
-                rd, rdi = (lambda j: row[0, j]), (lambda j: row_i[0, j])
+                rd, rdi = ((lambda j: row[j // 128, j % 128]),
+                           (lambda j: row_i[j // 128, j % 128]))
             else:
-                rd, rdi = load_row(tris_ref, ~code, tri_rpl)
+                rd, rdi = load_row(tris_ref, ~code, tri_rpl, tri_lpr)
             if prefetch:
                 cont_e = jnp.where(rdi(12 * m + m - 1) < 0, jnp.int32(0),
                                    code - 1)
@@ -1465,15 +1487,22 @@ def pack_rays(rays, tile_rows, multi=1):
 def _pack_rows(table, force_single=False):
     """Packs (N, C) rows into 128-lane VMEM lines: C<=64 -> two rows per
     line (avoids the 128-lane padding waste); C<=128 or force_single ->
-    one padded row per line. Returns (packed, rows_per_line)."""
+    one padded row per line; C>128 -> ceil(C/128) consecutive lines per
+    row (Tri16 packets: 14*16 = 224 floats = 2 lines, fetched by ONE
+    async copy in the HBM modes). Returns (packed, rows_per_line,
+    lines_per_row)."""
     n, c = table.shape
     if c <= 64 and not force_single:
         padded = jnp.zeros((n + (n % 2), 64), table.dtype)
         padded = padded.at[:n, :c].set(table)
-        return padded.reshape(-1, 128), 2
-    assert c <= 128, f"row width {c} exceeds one VMEM line"
-    padded = jnp.zeros((n, 128), table.dtype)
-    return padded.at[:, :c].set(table), 1
+        return padded.reshape(-1, 128), 2, 1
+    if c <= 128:
+        padded = jnp.zeros((n, 128), table.dtype)
+        return padded.at[:, :c].set(table), 1, 1
+    lpr = -(-c // 128)
+    padded = jnp.zeros((n, lpr * 128), table.dtype)
+    padded = padded.at[:, :c].set(table)
+    return padded.reshape(n * lpr, 128), 1, lpr
 
 
 def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
@@ -1512,9 +1541,15 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
     interpret = interpret or jax.default_backend() != "tpu"
     if interpret:
         scalar_reads = False  # interpreter path: keep vector loads
-    nodes2, node_rpl = _pack_rows(dev["nodes"], force_single=scalar_reads)
-    tris2, tri_rpl = _pack_rows(dev["tris"],
-                                force_single=scalar_reads or tris_hbm)
+    nodes2, node_rpl, node_lpr = _pack_rows(dev["nodes"],
+                                            force_single=scalar_reads)
+    assert node_lpr == 1, "node rows must fit one VMEM line"
+    tris2, tri_rpl, tri_lpr = _pack_rows(
+        dev["tris"], force_single=scalar_reads or tris_hbm)
+    if tri_lpr > 1:
+        # multi-line Tri rows (packet > 9): the scalar-read diagnostic
+        # has no multi-line form
+        scalar_reads = False
 
     arity = dev["nodes"].shape[1] // 7
     m = dev["tris"].shape[1] // 14
@@ -1536,9 +1571,9 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         kern = functools.partial(
             _kernel_multi, arity=arity, m=m, any_hit=any_hit,
             stack_size=stack_size, tile_rows=tile_rows, n_way=multi,
-            node_rpl=node_rpl, tri_rpl=tri_rpl, tris_hbm=tris_hbm,
-            nodes_hbm=nodes_hbm, leaf_chain=leaf_chain,
-            prefetch=prefetch)
+            node_rpl=node_rpl, tri_rpl=tri_rpl, tri_lpr=tri_lpr,
+            tris_hbm=tris_hbm, nodes_hbm=nodes_hbm,
+            leaf_chain=leaf_chain, prefetch=prefetch)
         blk = multi * tile_rows
         return pl.pallas_call(
             kern,
@@ -1560,7 +1595,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
                                     memory_space=pltpu.VMEM)] * 5,
             scratch_shapes=([pltpu.SMEM((stack_size,), jnp.int32)]
                             * multi
-                            + ([pltpu.VMEM((buf_rows, 128), jnp.float32),
+                            + ([pltpu.VMEM((buf_rows * tri_lpr, 128),
+                                           jnp.float32),
                                 pltpu.SemaphoreType.DMA(())] * multi
                                if tris_hbm else [])
                             + ([pltpu.VMEM((buf_rows, 128), jnp.float32),
@@ -1576,6 +1612,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         kern = functools.partial(_kernel_ct, arity=arity, m=m,
                                  any_hit=any_hit, stack_size=stack_size,
                                  node_rpl=node_rpl, tri_rpl=tri_rpl,
+                                 tri_lpr=tri_lpr,
                                  count_pops=count_pops, select=select,
                                  fma_slab=fma_slab, tris_hbm=tris_hbm,
                                  nodes_hbm=nodes_hbm, prefetch=prefetch)
@@ -1583,6 +1620,7 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         kern = functools.partial(_kernel, arity=arity, m=m,
                                  any_hit=any_hit, stack_size=stack_size,
                                  node_rpl=node_rpl, tri_rpl=tri_rpl,
+                                 tri_lpr=tri_lpr,
                                  pops=pops, scalar_reads=scalar_reads,
                                  count_pops=count_pops,
                                  ablate=tuple(ablate),
@@ -1624,7 +1662,8 @@ def _call_kernel(dev, packed, nt, tile_rows, any_hit, interpret,
         scratch_shapes=([pltpu.SMEM((stack_size,), jnp.int32)]
                         + ([pltpu.SMEM((2,), jnp.int32)] if count_pops
                            else [])
-                        + ([pltpu.VMEM((buf_rows, 128), jnp.float32),
+                        + ([pltpu.VMEM((buf_rows * tri_lpr, 128),
+                                       jnp.float32),
                             pltpu.SemaphoreType.DMA(())] if tris_hbm
                            else [])
                         + ([pltpu.VMEM((buf_rows, 128), jnp.float32),

@@ -71,7 +71,7 @@ _SHARD_ROWS = 22528
 
 
 def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
-                debug_counters=False):
+                debug_counters=False, ablate=(), fixed_iters=0):
     """One lockstep dual-queue while_loop at the current (static) width.
     Runs until fewer than `stop_rows` rows still have work (stop_rows=0:
     drain completely). rays is {"org": Vec3, "dir": Vec3, "inv_d": Vec3,
@@ -128,6 +128,9 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
 
     def pop(stack_list, ptr, can):
         top = ptr - 1
+        if "nopop" in ablate:   # waterfall: one-hot select-chain cost
+            code = jnp.where(can, stack_list[0], 0)
+            return code, jnp.where(can, top, ptr)
         code = zero
         for i, slot in enumerate(stack_list):
             code = jnp.where(top == i, slot, code)
@@ -135,6 +138,11 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
         return code, jnp.where(can, top, ptr)
 
     def cond(s):
+        if fixed_iters:
+            # waterfall mode (experiments/waterfall_tiled.py): run exactly
+            # fixed_iters trips so ablations share one pop schedule and
+            # time deltas isolate per-trip cost components
+            return s["iters"] < fixed_iters
         live = (s["nptr"] > 0) | (s["lptr"] > 0)
         if stop_rows <= 0:
             return jnp.any(live)
@@ -163,6 +171,10 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
                            & (lptr + arity + 1 <= S_L)).astype(jnp.int32))
         do_leaf = (leaf_cnt * 4 >= live_cnt) | ((node_ok == 0)
                                                 & (leaf_cnt > 0))
+        if "leafalways" in ablate:    # waterfall: gate savings
+            do_leaf = leaf_cnt >= 0
+        elif "noleaf" in ablate:      # waterfall: whole leaf-unit cost
+            do_leaf = leaf_cnt < 0    # (fixed_iters only: stalls rays)
 
         # ---- leaf unit (conditional): pop one packet per ray, gather its
         # tri rows, MT-test M lanes, write multi-packet continuations ----
@@ -173,6 +185,8 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
             lcode, lptr1 = pop(lstack_l, lptr0, can_leaf)
             is_leaf = lcode < 0
             pidx = jnp.where(is_leaf, ~lcode, 0)
+            if "trigatherfix" in ablate:  # waterfall: tri-gather cost
+                pidx = jnp.zeros_like(pidx)
             tc = gather_cols(dev["tris"], pidx)     # (14M, R, 128)
             best = None
             for lane in range(m):
@@ -219,9 +233,10 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
             upd = jnp.isfinite(bk)
             cont = is_leaf & ~is_last
             cont_pos = jnp.where(cont, lptr1, -1)
-            for si in range(S_L):
-                lstack_l[si] = jnp.where(cont_pos == si, lcode - 1,
-                                         lstack_l[si])
+            if "nopush" not in ablate:
+                for si in range(S_L):
+                    lstack_l[si] = jnp.where(cont_pos == si, lcode - 1,
+                                             lstack_l[si])
             return (tuple(lstack_l), lptr1 + cont.astype(jnp.int32),
                     jnp.where(upd, bk, t0), jnp.where(upd, bu, u0),
                     jnp.where(upd, bv, v0), jnp.where(upd, bp, p0),
@@ -243,6 +258,8 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
 
         # ---- wide node test ----
         nidx = jnp.where(is_node, ncode - 1, 0)
+        if "nodegatherfix" in ablate:     # waterfall: node-gather cost
+            nidx = jnp.zeros_like(nidx)
         nc = gather_cols(dev["nodes"], nidx)        # (7A, R, 128)
         children = []
         entry = []
@@ -267,7 +284,7 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
             entry.append(ent)
             chit.append((ent <= ext) & (ch != 0) & is_node)
 
-        if not any_hit:
+        if not any_hit and "nosort" not in ablate:
             keys = [jnp.where(chit[i], entry[i], jnp.inf)
                     for i in range(arity)]
             for i, j in _SORT_NETWORKS[arity]:
@@ -297,11 +314,12 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
             lpos.append(jnp.where(leaf_hit[i], lptr + lrank, -1))
             lvals.append(children[i])
             lrank = lrank + leaf_hit[i].astype(jnp.int32)
-        for si in range(S_L):
-            v = lstack[si]
-            for i in range(arity):
-                v = jnp.where(lpos[i] == si, lvals[i], v)
-            lstack[si] = v
+        if "nopush" not in ablate:
+            for si in range(S_L):
+                v = lstack[si]
+                for i in range(arity):
+                    v = jnp.where(lpos[i] == si, lvals[i], v)
+                lstack[si] = v
         lptr = lptr + jnp.where(is_node, k_l, 0)
 
         # ---- node-stack pushes: nearest inner child ends on top ----
@@ -310,11 +328,12 @@ def _stage_loop(dev, rays, state, stop_rows, any_hit, S_N, S_L,
         for i in range(arity):
             npos.append(jnp.where(inner_hit[i], nptr + k_n - 1 - nrank, -1))
             nrank = nrank + inner_hit[i].astype(jnp.int32)
-        for si in range(S_N):
-            v = nstack[si]
-            for i in range(arity):
-                v = jnp.where(npos[i] == si, children[i], v)
-            nstack[si] = v
+        if "nopush" not in ablate:
+            for si in range(S_N):
+                v = nstack[si]
+                for i in range(arity):
+                    v = jnp.where(npos[i] == si, children[i], v)
+                nstack[si] = v
         nptr = nptr + jnp.where(is_node, k_n, 0)
 
         if any_hit:
@@ -340,7 +359,8 @@ _HIT_KEYS = ("t", "u", "v", "prim_id", "geom_id")
 
 def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                         any_hit=False, stack_depth=None,
-                        debug_counters=False, compact_stages=0):
+                        debug_counters=False, compact_stages=0,
+                        ablate=(), fixed_iters=0):
     """Component-level traversal: org/dirv/inv_d/inv_o are Vec3 tuples of
     (R, 128) arrays, tmin/tmax (R, 128). Returns a hit dict of (R, 128)
     arrays {t, u, v, prim_id, geom_id}; rays with tmax < tmin are skipped
@@ -390,6 +410,9 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
 
     rays = {"org": org, "dir": dirv, "inv_d": inv_d, "tmin": tmin}
 
+    if fixed_iters:
+        assert debug_counters, "fixed_iters needs the iters counter"
+
     if compact_stages and not debug_counters and R >= 8:
         out = _traverse_staged(dev, rays, state, any_hit, S_N, S_L,
                                compact_stages)
@@ -397,7 +420,8 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
         return out
 
     state = _stage_loop(dev, rays, state, 0, any_hit, S_N, S_L,
-                        debug_counters)
+                        debug_counters, ablate=ablate,
+                        fixed_iters=fixed_iters)
     out = {k: state[k] for k in _HIT_KEYS}
     # miss semantics: t == original tmax
     out["t"] = jnp.where(out["prim_id"] < 0, tmax, out["t"])
@@ -447,7 +471,8 @@ def _traverse_staged(dev, rays, state, any_hit, S_N, S_L, max_stages):
 
 
 def traverse_tiled(dev, rays, any_hit=False, stack_depth=None,
-                   debug_counters=False, compact_stages=0):
+                   debug_counters=False, compact_stages=0,
+                   ablate=(), fixed_iters=0):
     """Row-layout wrapper over traverse_components; same contract as
     api.traverse."""
     B = rays["org"].shape[0]
@@ -468,7 +493,8 @@ def traverse_tiled(dev, rays, any_hit=False, stack_depth=None,
     out = traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                               any_hit=any_hit, stack_depth=stack_depth,
                               debug_counters=debug_counters,
-                              compact_stages=compact_stages)
+                              compact_stages=compact_stages,
+                              ablate=ablate, fixed_iters=fixed_iters)
     counters = out.pop("counters", None)
 
     def untile(x):

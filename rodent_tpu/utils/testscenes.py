@@ -56,10 +56,16 @@ def _cylinder(center, radius, height, segments, rings, mat=1):
     return verts, np.asarray(idx, np.int32)
 
 
-def make_hall(target_tris=260_000, seed=7):
+def make_hall(target_tris=260_000, seed=7, rich_mats=False):
     """Sponza-class atrium: walls/floor/ceiling patches with sinusoidal
     relief + a grid of columns. Returns (vertices (V,3) f32,
-    indices (T*4,) i32) with ~target_tris triangles."""
+    indices (T*4,) i32) with ~target_tris triangles.
+
+    rich_mats=True assigns bench-MTL material ids (the reference's bench
+    scenes are full-MTL interiors mixing textured/specular/glass/mirror
+    shaders, converter.cpp:859-927): columns cycle stone(1) / gold-mix(6)
+    with two glass(4) and two mirror(5) columns; pair with
+    mat_hall_materials() + compile_mesh(materials=..., tex_images=...)."""
     rng = np.random.RandomState(seed)
     # budget: ~55% surfaces, ~45% columns
     patches = []
@@ -104,10 +110,15 @@ def make_hall(target_tris=260_000, seed=7):
     rings = max(per_col // (2 * segments), 2)
     for ix in range(cols_x):
         for iz in range(cols_z):
+            cm = 1
+            if rich_mats:
+                k = ix * cols_z + iz
+                cm = {4: 4, 9: 5, 14: 4, 19: 5}.get(
+                    k, 6 if k % 5 == 2 else 1)
             cx = W * (ix + 0.5) / cols_x + rng.uniform(-0.3, 0.3)
             cz = D * (iz + 0.5) / cols_z + rng.uniform(-0.3, 0.3)
             v, i = _cylinder((cx, 0.0, cz), 0.45 + rng.uniform(0, 0.15),
-                             H * 0.85, segments, rings, mat=1)
+                             H * 0.85, segments, rings, mat=cm)
             i[:, :3] += voff
             voff += len(v)
             all_v.append(v)
@@ -116,6 +127,44 @@ def make_hall(target_tris=260_000, seed=7):
     verts = np.concatenate(all_v)
     idx = np.concatenate(all_i)
     return verts, idx.reshape(-1)
+
+
+def mat_hall_materials():
+    """Materials + procedural textures for make_hall(rich_mats=True):
+    textured-diffuse floor/walls (checker + plaster banks), a MIX stone
+    column, PHONG end walls, GLASS and MIRROR columns, and a gold MIX —
+    every BSDF kind the reference's bench interiors exercise
+    (converter.cpp:859-927; bench.sh:9-85 scenes are full-MTL).
+    Returns (materials list indexed by mat id, tex_images dict)."""
+    from ..io.obj import Material
+
+    # checker: 256x256, ~0.7/0.35 gray tones, 16-px tiles (linear space)
+    g = (np.indices((256, 256)).sum(0) // 16) % 2
+    checker = np.where(g[..., None] == 0,
+                       np.float32([0.70, 0.66, 0.58]),
+                       np.float32([0.30, 0.29, 0.27])).astype(np.float32)
+    # plaster: smooth two-frequency sin field around a warm base tone
+    yy, xx = np.mgrid[0:256, 0:256] / 256.0
+    f = (0.5 * np.sin(2 * np.pi * 3 * xx) * np.cos(2 * np.pi * 2 * yy)
+         + 0.5 * np.sin(2 * np.pi * 7 * (xx + yy)))
+    plaster = (np.float32([0.62, 0.57, 0.48])[None, None]
+               * (1.0 + 0.18 * f[..., None])).astype(np.float32)
+    tex_images = {"checker": checker, "plaster": plaster}
+
+    materials = [
+        Material(name="floor", kd=(1.0, 1.0, 1.0), map_kd="checker"),
+        Material(name="stonecol", kd=(0.55, 0.52, 0.48),
+                 ks=(0.25, 0.25, 0.25), ns=32.0),            # MIX
+        Material(name="wall", kd=(1.0, 1.0, 1.0), map_kd="plaster"),
+        Material(name="endwall", ks=(0.45, 0.44, 0.42), ns=12.0),  # PHONG
+        Material(name="glasscol", illum=7, ni=1.52,
+                 tf=(0.92, 0.95, 0.93)),                     # GLASS
+        Material(name="mirrorcol", illum=5,
+                 ks=(0.88, 0.90, 0.92)),                     # MIRROR
+        Material(name="goldcol", kd=(0.35, 0.25, 0.08),
+                 ks=(0.55, 0.42, 0.18), ns=64.0),            # MIX
+    ]
+    return materials, tex_images
 
 
 def hall_primary_rays(width=1024, height=1024):

@@ -323,6 +323,62 @@ def test_packet_kernel_carry_top_matches_api():
     assert int(cnt[1::8, 0].sum()) > 0         # leaf pops counted
 
 
+def test_packet_kernel_tri16_matches_api():
+    """Tri16 leaf packets (14*16 = 224 floats = TWO VMEM lines per row,
+    fetched by one async copy in the HBM modes — the big-scene leaf-DMA
+    halving, VERDICT r4 item 3) must agree exactly with api.traverse in
+    every kernel body, including any-hit and prefetch."""
+    from rodent_tpu.traversal.pallas_packet import traverse_packet
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8, packet=16, leaf_threshold=32)
+    assert bvh.tri_v0.shape[1] == 16
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=49)
+    rays2 = random_rays(256, seed=51, tmax=2.0)
+    a = traverse(dev, rays)
+    wa = np.asarray(traverse(dev, rays2, any_hit=True)["prim_id"]) >= 0
+    for kw in ({},                                      # VMEM, legacy
+               {"tris_hbm": True, "prefetch": True},    # legacy + DMA
+               {"carry_top": True, "tris_hbm": True, "prefetch": True},
+               {"multi": 2, "tris_hbm": True, "prefetch": True}):
+        b = traverse_packet(dev, rays, tile_rows=4, **kw)
+        np.testing.assert_allclose(np.asarray(a["t"]),
+                                   np.asarray(b["t"]),
+                                   atol=1e-5, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                      np.asarray(b["prim_id"]))
+        ga = np.asarray(traverse_packet(dev, rays2, any_hit=True,
+                                        tile_rows=4,
+                                        **kw)["prim_id"]) >= 0
+        np.testing.assert_array_equal(wa, ga)
+
+
+def test_tiled_waterfall_hooks_preserve_results():
+    """The waterfall diagnostics (fixed_iters schedule pinning and the
+    result-preserving ablations) must not change hits: 'leafalways' and
+    'nosort' are semantically neutral; fixed_iters >= the free-running
+    trip count drains completely."""
+    from rodent_tpu.traversal.tiled import traverse_tiled
+    verts, idx = random_tri_soup(257, seed=47)
+    bvh = build_bvh(verts, idx, arity=8)
+    dev = bvh_to_device(bvh)
+    rays = random_rays(300, seed=49)
+    a = traverse(dev, rays)
+    cnt = traverse_tiled(dev, rays, debug_counters=True)
+    trips = int(cnt["counters"]["iters"])
+    # leafalways drains at least as fast as the gated loop, so pinning
+    # the schedule past the free-running trip count still drains fully;
+    # nosort changes the pop ORDER (more trips possible) so it runs free
+    for kw in (dict(ablate=("leafalways",), fixed_iters=trips + 8),
+               dict(ablate=("nosort",))):
+        b = traverse_tiled(dev, rays, debug_counters=True, **kw)
+        np.testing.assert_allclose(np.asarray(a["t"]),
+                                   np.asarray(b["t"]),
+                                   atol=1e-5, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                      np.asarray(b["prim_id"]))
+
+
 def test_packet_kernel_multi_matches_api():
     """The multi-tile kernel (n independent tiles per grid step with
     interleaved pop chains — the VLIW-packing variant) must agree exactly
