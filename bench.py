@@ -144,8 +144,15 @@ def main():
         from rodent_tpu.utils.testscenes import (make_powerplant,
                                                  powerplant_primary_rays)
         bverts, bidx = make_powerplant(5_000_000)
-        bbvh = build_bvh(bverts, bidx, arity=8, packet=8, quality=0,
-                         leaf_threshold=12)
+        # round 5: Tri24 leaf packets (336-float rows = 3 VMEM lines,
+        # one DMA per leaf pop) + cheap DP leaves cut leaf DMAs/tile
+        # 255 -> ~124 and lift the row 7.67 -> 10.70 Mrays/s at 16x2
+        # (experiments/sweep_bigscene_leaf.py, results_tpu_r5.txt); the
+        # packet-size knee is at 24 (pk32 drops to 9.95: lane math
+        # overtakes the saved pop overhead), leaf_cost at 0.45-0.6
+        # (0.3 overshoots: packets merge past the DMA win)
+        bbvh = build_bvh(bverts, bidx, arity=8, packet=24, quality=0,
+                         leaf_threshold=12, leaf_cost=0.45)
         bdev = bvh_to_device(bbvh)
         borg, bdirs = powerplant_primary_rays(1024, 1024)
         bn = len(borg)

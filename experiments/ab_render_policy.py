@@ -77,18 +77,29 @@ def main():
     make, cam_cfg = {
         "hall": (testscenes.make_hall,
                  ((2.5, 5.0, 5.0), (1.0, -0.12, 0.02), 60.0, "inside")),
+        "mathall": (testscenes.make_hall,
+                    ((2.5, 5.0, 5.0), (1.0, -0.12, 0.02), 60.0,
+                     "inside")),
         "crown": (testscenes.make_crown,
                   ((4.2, 1.8, 1.2), (-4.2, -1.4, -1.2), 42.0, "above")),
         "powerplant": (testscenes.make_powerplant,
                        ((-30.0, 60.0, -30.0), (130.0, -40.0, 130.0),
                         55.0, "above")),
     }[args.scene]
-    dflt = {"hall": 260_000, "crown": 800_000,
+    dflt = {"hall": 260_000, "mathall": 260_000, "crown": 800_000,
             "powerplant": 2_000_000}[args.scene]
-    verts, idx = make(args.tris or dflt)
     eye, dirv, fov, emitter = cam_cfg
-    scene = compile_mesh(verts, idx, max_path_len=args.mpl,
-                         emitter=emitter)
+    if args.scene == "mathall":
+        verts, idx = testscenes.make_hall(args.tris or dflt,
+                                          rich_mats=True)
+        mats, texs = testscenes.mat_hall_materials()
+        scene = compile_mesh(verts, idx, max_path_len=args.mpl,
+                             emitter=emitter, materials=mats,
+                             tex_images=texs)
+    else:
+        verts, idx = make(args.tris or dflt)
+        scene = compile_mesh(verts, idx, max_path_len=args.mpl,
+                             emitter=emitter)
     cam = Camera.make(eye, dirv, (0, 1, 0), fov, W, H)
     print(f"scene={args.scene} tris={len(idx)//4} {W}x{H} spp{args.spp} "
           f"mpl{args.mpl} sort={args.sort} retire={args.retire} "

@@ -126,7 +126,17 @@ def main(argv=None):
         make_name, rays_name, dflt = _SCENES[scene]
         tris = sizes.get(scene, dflt)
         verts, idx = getattr(testscenes, make_name)(tris)
-        bvh = build_bvh(verts, idx, arity=8, packet=8, leaf_threshold=12)
+        if scene == "powerplant":
+            # HBM-tier build (round 5): Tri24 multi-line leaf packets +
+            # cheap DP leaves halve the leaf DMAs that are 68% of this
+            # scene's pops (sweep_bigscene_leaf.py, results_tpu_r5.txt:
+            # 7.67 -> 10.70 Mrays/s at 4.3M tris, knee at pk24);
+            # quality=0 keeps the 12.7M-tri build tractable
+            bvh = build_bvh(verts, idx, arity=8, packet=24, quality=0,
+                            leaf_threshold=12, leaf_cost=0.45)
+        else:
+            bvh = build_bvh(verts, idx, arity=8, packet=8,
+                            leaf_threshold=12)
         dev = bvh_to_device(bvh)
         lo, hi = verts.min(0), verts.max(0)
         org, dirs = getattr(testscenes, rays_name)(side, side)
