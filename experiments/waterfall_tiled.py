@@ -129,6 +129,22 @@ def main():
                       f"delta {-(tt-base)*1e3:+7.1f} ms "
                       f"({-(tt-base)/base:+.0%})", flush=True)
 
+        # ---- production candidates: sub-batches x compaction ----
+        for sb, cs in ((0, 5), (4, 5), (8, 5), (16, 5), (8, 3),
+                       (16, 0)):
+            f = jax.jit(lambda d, r, s=sb, c=cs: traverse_tiled(
+                d, r, any_hit=any_hit, sub_batches=s,
+                compact_stages=c))
+            try:
+                tp = timed(f, dev, rays, blocks=args.blocks,
+                           iters=args.iters)
+            except Exception as e:
+                print(f"  sb{sb}-c{cs}: FAILED {type(e).__name__}",
+                      flush=True)
+                continue
+            print(f"  sb{sb}-c{cs}: {n/tp/1e6:6.2f} Mrays/s",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()

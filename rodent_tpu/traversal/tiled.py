@@ -472,9 +472,18 @@ def _traverse_staged(dev, rays, state, any_hit, S_N, S_L, max_stages):
 
 def traverse_tiled(dev, rays, any_hit=False, stack_depth=None,
                    debug_counters=False, compact_stages=0,
-                   ablate=(), fixed_iters=0):
+                   ablate=(), fixed_iters=0, sub_batches=0):
     """Row-layout wrapper over traverse_components; same contract as
-    api.traverse."""
+    api.traverse.
+
+    sub_batches=k > 1 splits the megabatch into k sequential chunks
+    (lax.map over the leading axis: XLA compiles ONE chunk body).
+    The lockstep loop pays max-trips x full width; with cone-sorted
+    rays a chunk's rays share a trip-count neighborhood, so the tail
+    beyond each chunk's own max is never paid by the other chunks —
+    the reference pays this per 16x16 tile (cpu_parallel_tiles,
+    render/mapping_cpu.impala:3-33); k bounds it at B/k rays.
+    Composes with compact_stages (stage-halving inside each chunk)."""
     B = rays["org"].shape[0]
     R = -(-B // 128)
 
@@ -490,11 +499,34 @@ def traverse_tiled(dev, rays, any_hit=False, stack_depth=None,
     if R * 128 != B:
         pad_dead = _tile(jnp.ones(B, jnp.int32), R) == 0
         tmax = jnp.where(pad_dead, -1.0, tmax)
-    out = traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
-                              any_hit=any_hit, stack_depth=stack_depth,
-                              debug_counters=debug_counters,
-                              compact_stages=compact_stages,
-                              ablate=ablate, fixed_iters=fixed_iters)
+
+    if (sub_batches > 1 and R % sub_batches == 0
+            and R // sub_batches >= 8 and not debug_counters):
+        k = sub_batches
+
+        def rs(x):
+            return x.reshape(k, R // k, 128)
+
+        def chunk(a):
+            o, dv, iv, io_, tn, tx = a
+            return traverse_components(
+                dev, tuple(o), tuple(dv), tuple(iv), tuple(io_), tn, tx,
+                any_hit=any_hit, stack_depth=stack_depth,
+                compact_stages=compact_stages, ablate=ablate)
+
+        out = jax.lax.map(chunk, (tuple(rs(c) for c in org),
+                                  tuple(rs(c) for c in dirv),
+                                  tuple(rs(c) for c in inv_d),
+                                  tuple(rs(c) for c in inv_o),
+                                  rs(tmin), rs(tmax)))
+        out = {kk: v.reshape(R, 128) for kk, v in out.items()}
+    else:
+        out = traverse_components(dev, org, dirv, inv_d, inv_o, tmin,
+                                  tmax, any_hit=any_hit,
+                                  stack_depth=stack_depth,
+                                  debug_counters=debug_counters,
+                                  compact_stages=compact_stages,
+                                  ablate=ablate, fixed_iters=fixed_iters)
     counters = out.pop("counters", None)
 
     def untile(x):

@@ -369,13 +369,27 @@ def test_tiled_waterfall_hooks_preserve_results():
     # leafalways drains at least as fast as the gated loop, so pinning
     # the schedule past the free-running trip count still drains fully;
     # nosort changes the pop ORDER (more trips possible) so it runs free
-    for kw in (dict(ablate=("leafalways",), fixed_iters=trips + 8),
-               dict(ablate=("nosort",))):
-        b = traverse_tiled(dev, rays, debug_counters=True, **kw)
+    for kw in (dict(ablate=("leafalways",), fixed_iters=trips + 8,
+                    debug_counters=True),
+               dict(ablate=("nosort",), debug_counters=True)):
+        b = traverse_tiled(dev, rays, **kw)
         np.testing.assert_allclose(np.asarray(a["t"]),
                                    np.asarray(b["t"]),
                                    atol=1e-5, rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(a["prim_id"]),
+                                      np.asarray(b["prim_id"]))
+    # sequential sub-batches (lockstep-tail bound at chunk granularity)
+    # must be hit-exact, with and without staged compaction inside each
+    # chunk; needs >= 8 rows per chunk, so a bigger batch (R = 32 rows)
+    rays4k = random_rays(4096, seed=53)
+    a4 = traverse(dev, rays4k)
+    for kw in (dict(sub_batches=2),
+               dict(sub_batches=4, compact_stages=3)):
+        b = traverse_tiled(dev, rays4k, **kw)
+        np.testing.assert_allclose(np.asarray(a4["t"]),
+                                   np.asarray(b["t"]),
+                                   atol=1e-5, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a4["prim_id"]),
                                       np.asarray(b["prim_id"]))
 
 
