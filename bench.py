@@ -61,6 +61,13 @@ def main():
     dev = bvh_to_device(bvh)
     detail["num_nodes"] = int(bvh.num_nodes)
     detail["num_packets"] = int(bvh.num_packets)
+    # round-5 challenger: Tri16 + cheap DP leaves (multi-line VMEM rows)
+    # measured 71.2 vs pk8's 70.0 with overlapping bands
+    # (race_hall_packet.py) — race the BUILDS at the fixed ct-32x1
+    # winner config instead of two row configs of one build
+    bvh16 = build_bvh(verts, idx, arity=8, packet=16, leaf_threshold=12,
+                      leaf_cost=0.6)
+    dev16 = bvh_to_device(bvh16)
 
     org, dirs = hall_primary_rays(1024, 1024)
     n = len(org)
@@ -72,19 +79,20 @@ def main():
     prim_sorted, _ = sort_rays(prim, verts.min(0), verts.max(0))
     # round 5: the carry-top body (next pop in the while carry +
     # min-fold child select, _kernel_ct) wins at 32x1 (71.2 vs legacy
-    # 67.0, experiments/measure_ct.py) and ties legacy at 24x1
-    # (69.2/69.1); race ct-32x1 vs ct-24x1 and report the best, as the
-    # reference's tables list the best variant per row. ao/bounces
-    # below keep the legacy 16x2 default (their measured winner).
+    # 67.0, experiments/measure_ct.py); ct-24x1 always lost the r5
+    # races, so the second lane now races the Tri16+lc0.6 BUILD at the
+    # same ct-32x1 config (71.2 vs 70.0 with overlapping bands,
+    # race_hall_packet.py). ao/bounces below keep the pk8 build and
+    # legacy 16x2 default (their measured winner).
     mrays_primary, p_lo, p_hi, hit = 0.0, 0.0, 0.0, None
-    for rows in (32, 24):
-        fn_packet = rjit(lambda r, rr=rows: traverse_packet(
-            dev, r, tile_rows=rr, multi=1, carry_top=True))
+    for bname, bdev_ in (("pk8", dev), ("pk16", dev16)):
+        fn_packet = rjit(lambda r, d=bdev_: traverse_packet(
+            d, r, tile_rows=32, multi=1, carry_top=True))
         m, lo, hi, h = _bench_traversal(fn_packet, prim_sorted, n)
-        detail[f"primary_ct{rows}x1_mrays"] = round(m, 2)
+        detail[f"primary_{bname}_ct32_mrays"] = round(m, 2)
         if m > mrays_primary:
             mrays_primary, p_lo, p_hi, hit = m, lo, hi, h
-            detail["primary_config"] = f"ct-{rows}x1"
+            detail["primary_config"] = f"{bname}-ct-32x1"
     detail["primary_mrays"] = round(mrays_primary, 2)
     detail["primary_band"] = [round(p_lo, 2), round(p_hi, 2)]
     detail["primary_hit_fraction"] = round(float(jnp.mean(
@@ -111,11 +119,17 @@ def main():
         # 43K-row Tri8 table) + staged compaction, so the winner is an
         # open question per distribution.
         best, best_eng = 0.0, None
+        # round 5: sub_batches=16 bounds the lockstep tail per chunk
+        # (the waterfall ablation's top lever: +45% over the plain
+        # dual-queue at the same compact_stages, results_tpu_r5.txt)
         for eng_name, eng in (
                 ("packet", lambda r, ah: traverse_packet(dev, r,
                                                          any_hit=ah)),
                 ("tiled-c", lambda r, ah: traverse_tiled(
-                    dev, r, any_hit=ah, compact_stages=5))):
+                    dev, r, any_hit=ah, compact_stages=5)),
+                ("tiled-c-sb16", lambda r, ah: traverse_tiled(
+                    dev, r, any_hit=ah, compact_stages=5,
+                    sub_batches=16))):
             try:
                 fn2 = rjit(lambda r, ah=any_hit, e=eng: e(r, ah))
                 # 5-block median, same standard as the primary row and

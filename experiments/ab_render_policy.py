@@ -43,6 +43,12 @@ POLICIES = {
     "all-tiled-c0": dict(packet=False, compact=0),
     "all-tiled-c3": dict(packet=False, compact=3),
     "all-tiled-c8": dict(packet=False, compact=8),
+    # round 5: sequential sub-batches bound the lockstep tail per chunk;
+    # under sort=none chunks have no trip neighborhoods (hypothesis:
+    # no gain), under sort=pool they do (hypothesis: sub flips the
+    # round-4 "sort loses" sign) — run with --sort none AND --sort pool
+    "all-tiled-sb8": dict(packet=False, compact=5, sub=8),
+    "all-tiled-sb16": dict(packet=False, compact=5, sub=16),
 }
 
 
@@ -58,6 +64,9 @@ def main():
     ap.add_argument("--retire", type=int, default=1)
     ap.add_argument("--pool", type=int, default=0,
                     help="override the persistent pool size (0 = default)")
+    ap.add_argument("--pools", default="",
+                    help="comma list of pool sizes: each policy row runs "
+                         "once per pool (amortizes the scene build)")
     ap.add_argument("--policies", default=",".join(POLICIES))
     args = ap.parse_args()
 
@@ -105,17 +114,21 @@ def main():
           f"mpl{args.mpl} sort={args.sort} retire={args.retire} "
           f"backend={jax.default_backend()}")
 
+    pools = ([int(x) for x in args.pools.split(",")] if args.pools
+             else [args.pool])
     ref_film = None
-    for name in args.policies.split(","):
-        kw = POLICIES[name]
+    for name0 in args.policies.split(","):
+      for pool in pools:
+        kw = POLICIES[name0]
+        name = f"{name0}-p{pool // 1024}K" if len(pools) > 1 else name0
 
-        def step(film, it, kw=kw):
+        def step(film, it, kw=kw, pool=pool):
             return render_iteration_persistent(
                 scene.device, cam, film, W, H, args.spp, it,
                 sort=(args.sort if args.sort in ("pool",)
                       else args.sort == "true"),
                 retire_every=args.retire,
-                **(dict(pool=args.pool) if args.pool else {}), **kw)
+                **(dict(pool=pool) if pool else {}), **kw)
 
         try:
             film = film_mod.new_film(W, H)

@@ -550,6 +550,36 @@ def select_packet(device, limit_bytes=80 * 1024 * 1024):
     return True if mode == "dense" else mode
 
 
+def shell_coverage(device):
+    """Fraction of the scene-bbox shell covered by geometry lying within
+    2.5% of a shell face — a one-time host-side ENCLOSURE statistic.
+
+    Enclosed interiors (hall-class: walls/floor/ceiling hug the bbox)
+    score near 1; open scenes (crown-class: geometry on a base plane
+    under open sky) score ~1/6. Paths in enclosed scenes live long
+    (nothing escapes), so the persistent pool's live fraction stays
+    high and a bigger pool amortizes per-step fixed cost; in open
+    scenes most bounces escape, retirement dominates, and film-scatter
+    cost grows with pool width — the measured pool signs of round 4
+    (hall prefers 64K, crown 32K). Used by select_render_policy."""
+    v = np.asarray(device["vertices"])
+    i4 = np.asarray(device["indices"])
+    lo, hi = v.min(0), v.max(0)
+    ext = np.maximum(hi - lo, 1e-6)
+    tri = v[i4[:, :3]]                     # (T, 3, 3)
+    cen = tri.mean(1)
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
+    cover = 0.0
+    for ax in range(3):
+        o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+        face_area = ext[o1] * ext[o2]
+        for plane in (lo[ax], hi[ax]):
+            near = np.abs(cen[:, ax] - plane) < 0.025 * ext[ax]
+            cover += min(float(area[near].sum()) / face_area, 1.0)
+    return cover / 6.0
+
+
 def select_render_policy(device, limit_bytes=80 * 1024 * 1024):
     """Measured per-distribution engine policy for the PERSISTENT
     renderer: kwargs for render_iteration_persistent (round-4 A/B,
@@ -572,7 +602,14 @@ def select_render_policy(device, limit_bytes=80 * 1024 * 1024):
       than the coherence it buys a GATHER-based engine (+43% without
       it), and deferred retirement only pays when the sort makes the
       retirement block heavy (retire=2 wins under pool-sort, loses
-      under sort=none on both hall and crown).
+      under sort=none on both hall and crown). The POOL SIZE follows
+      the enclosure statistic (shell_coverage): enclosed interiors
+      keep paths alive (live fraction stays high), so a 64K pool
+      amortizes the per-step fixed cost (+5.3% on hall, round-4 pool
+      sweep); open scenes retire most bounces to the sky, so the
+      default 32K pool wins (crown: 64K loses) — the two measured
+      signs of round 4, now derived from the scene instead of
+      hardcoded per scene.
     - hbm/giga tiers (San-Miguel-class): the Tri (and node) tables
       exceed VMEM; the DMA packet kernel carries the traversal.
 
@@ -586,7 +623,10 @@ def select_render_policy(device, limit_bytes=80 * 1024 * 1024):
             return dict(packet=True, retire_every=2)
         return dict(packet="dense", retire_every=2)
     if mode == "hybrid" or not tpu:
-        return dict(packet=False, compact=5)
+        pol = dict(packet=False, compact=5)
+        if shell_coverage(device) >= 0.5:
+            pol["pool"] = 1 << 16
+        return pol
     return dict(packet=mode, sort="pool")
 
 

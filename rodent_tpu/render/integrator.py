@@ -66,7 +66,7 @@ def make_rays_c(org, dirv, tmin, tmax):
 
 
 def _traverse(scene, rays, any_hit=False, packet=False, sort=False,
-              compact=0):
+              compact=0, sub=0):
     """packet=True uses the Pallas shared-stack kernel (BVH must fit in
     VMEM); packet="hbm" uses its big-scene mode (node table in VMEM,
     Tri rows DMA'd from HBM — San-Miguel-class scenes); default is the
@@ -103,8 +103,11 @@ def _traverse(scene, rays, any_hit=False, packet=False, sort=False,
     else:
         # compact: staged row compaction (tiled.py) — pays when rays are
         # cone-sorted so rows die together; meaningless for the packet
-        # kernel (its tiles already retire independently)
-        fn = partial(traverse_components, compact_stages=compact)
+        # kernel (its tiles already retire independently). sub: sequential
+        # sub-batches bound the lockstep tail per chunk (pays under sort,
+        # which gives chunks trip-count neighborhoods)
+        fn = partial(traverse_components, compact_stages=compact,
+                     sub_batches=sub)
     if sort and "scene_lo" in scene:
         shape = rays["tmin"].shape
         flat3 = tuple(x.reshape(-1) for x in rays["org"])
@@ -292,7 +295,7 @@ def _splat_planar(planes, pixel, color, mask):
 
 
 def _shade(scene, rays, hit, state, packet=False, sort=False,
-           compact=0, shadow_packet=None, shadow_compact=None):
+           compact=0, shadow_packet=None, shadow_compact=None, sub=0):
     """One shading stage: on_hit accumulation, NEE shadow rays, bounce
     sampling. Radiance accumulates into the per-slot register state["acc"]
     (splatted to the film only when the path retires — film scatter-adds
@@ -377,7 +380,7 @@ def _shade(scene, rays, hit, state, packet=False, sort=False,
                               jnp.where(nee_ok, 1.0 - OFFSET, -1.0))
     shadow_hit = _traverse(scene, shadow_rays, any_hit=True,
                            packet=shadow_packet, sort=sort,
-                           compact=shadow_compact)
+                           compact=shadow_compact, sub=sub)
     add_shadow = nee_ok & (shadow_hit["prim_id"] < 0)
     acc = vm.add(acc, vm.where(add_shadow, shadow_color, zero3))
 
@@ -542,7 +545,7 @@ def render_iteration(scene, camera, film, width, height, spp, iteration,
 
 @partial(rjit, static_argnames=("camera", "width", "height", "spp",
                                    "pool", "packet", "n_pixels", "sort",
-                                   "compact", "retire_every",
+                                   "compact", "sub", "retire_every",
                                    "bounce_packet", "shadow_packet",
                                    "depth_split", "return_steps"),
          donate_argnames=("film",))
@@ -550,7 +553,7 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
                                 iteration, pool=None, packet=False,
                                 pixel_lo=0, n_pixels=None, sample_lo=0,
                                 spp_weight=None, sort=False, compact=0,
-                                retire_every=1, bounce_packet=None,
+                                sub=0, retire_every=1, bounce_packet=None,
                                 shadow_packet=None, depth_split=False,
                                 return_steps=False):
     """Persistent-wavefront iteration: the TPU form of the reference's
@@ -609,6 +612,12 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
       engine's tiles retire dead). Films are bit-identical across
       policies: the BVH engines are exact-parity and routing changes
       which kernel serves a ray, never the estimator.
+    - sub=k routes the dual-queue traversals through k sequential
+      sub-batches (traverse_components sub_batches): each chunk pays
+      its own lockstep max-trips. Only pays when the pool is sorted
+      (sort="pool") so chunks share trip-count neighborhoods — under
+      sort=False the chunk maxima match the global max and the lax.map
+      serialization is pure overhead.
     """
     # the hybrid policies are wavefront-level (depth-0 peel) and don't
     # apply to a mixed-depth pool; map them to their full-packet flavor
@@ -777,14 +786,14 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
             rb = dict(rays, tmax=jnp.where(d0, -1.0, rays["tmax"]))
             h0 = _traverse(scene, r0, packet=packet, sort=call_sort)
             hb = _traverse(scene, rb, packet=bounce_packet,
-                           sort=call_sort, compact=compact)
+                           sort=call_sort, compact=compact, sub=sub)
             hit = {k: jnp.where(d0, h0[k], hb[k]) for k in h0}
         else:
             hit = _traverse(scene, rays, packet=bounce_packet,
-                            sort=call_sort, compact=compact)
+                            sort=call_sort, compact=compact, sub=sub)
         rays, state = _shade(scene, rays, hit, state, packet=packet,
                              sort=call_sort, compact=compact,
-                             shadow_packet=shadow_packet)
+                             shadow_packet=shadow_packet, sub=sub)
 
         step = c["step"]
         if retire_every == 1:

@@ -360,7 +360,7 @@ _HIT_KEYS = ("t", "u", "v", "prim_id", "geom_id")
 def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
                         any_hit=False, stack_depth=None,
                         debug_counters=False, compact_stages=0,
-                        ablate=(), fixed_iters=0):
+                        ablate=(), fixed_iters=0, sub_batches=0):
     """Component-level traversal: org/dirv/inv_d/inv_o are Vec3 tuples of
     (R, 128) arrays, tmin/tmax (R, 128). Returns a hit dict of (R, 128)
     arrays {t, u, v, prim_id, geom_id}; rays with tmax < tmin are skipped
@@ -371,8 +371,39 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     width, then live rows are permuted to the front and the loop re-runs
     at half the (static) width. Rays should be cone-sorted so rows die
     together; results are identical (hits are scattered back to original
-    rows). Incompatible with debug_counters."""
+    rows). Incompatible with debug_counters.
+
+    sub_batches=k > 1 splits the rows into k sequential chunks (lax.map:
+    one compiled body) so the lockstep loop pays each chunk's OWN
+    max-trips instead of the global max — the reference bounds the same
+    tail per 16x16 tile (cpu_parallel_tiles, mapping_cpu.impala:3-33).
+    Pays when rays are sorted so chunks share trip-count neighborhoods
+    (+40-45% on hall ao/bounces, results_tpu_r5.txt waterfall). Ignored
+    when R is not divisible into chunks of >= 8 rows or under
+    debug_counters/fixed_iters (schedule-pinned diagnostics)."""
     from .api import BvhMeta
+    R_all = tmin.shape[0]
+    if (sub_batches > 1 and R_all % sub_batches == 0
+            and R_all // sub_batches >= 8 and not debug_counters
+            and not fixed_iters):
+        k = sub_batches
+
+        def rs(x):
+            return x.reshape(k, R_all // k, 128)
+
+        def chunk(a):
+            o, dv, iv, io_, tn, tx = a
+            return traverse_components(
+                dev, tuple(o), tuple(dv), tuple(iv), tuple(io_), tn, tx,
+                any_hit=any_hit, stack_depth=stack_depth,
+                compact_stages=compact_stages, ablate=ablate)
+
+        out = jax.lax.map(chunk, (tuple(rs(c) for c in org),
+                                  tuple(rs(c) for c in dirv),
+                                  tuple(rs(c) for c in inv_d),
+                                  tuple(rs(c) for c in inv_o),
+                                  rs(tmin), rs(tmax)))
+        return {kk: v.reshape(R_all, 128) for kk, v in out.items()}
     arity = dev["nodes"].shape[1] // 7
     # node stack sized to the tree's worst case (BvhMeta is a static pytree
     # node computed host-side in bvh_to_device) so pushes cannot be
@@ -500,33 +531,13 @@ def traverse_tiled(dev, rays, any_hit=False, stack_depth=None,
         pad_dead = _tile(jnp.ones(B, jnp.int32), R) == 0
         tmax = jnp.where(pad_dead, -1.0, tmax)
 
-    if (sub_batches > 1 and R % sub_batches == 0
-            and R // sub_batches >= 8 and not debug_counters):
-        k = sub_batches
-
-        def rs(x):
-            return x.reshape(k, R // k, 128)
-
-        def chunk(a):
-            o, dv, iv, io_, tn, tx = a
-            return traverse_components(
-                dev, tuple(o), tuple(dv), tuple(iv), tuple(io_), tn, tx,
-                any_hit=any_hit, stack_depth=stack_depth,
-                compact_stages=compact_stages, ablate=ablate)
-
-        out = jax.lax.map(chunk, (tuple(rs(c) for c in org),
-                                  tuple(rs(c) for c in dirv),
-                                  tuple(rs(c) for c in inv_d),
-                                  tuple(rs(c) for c in inv_o),
-                                  rs(tmin), rs(tmax)))
-        out = {kk: v.reshape(R, 128) for kk, v in out.items()}
-    else:
-        out = traverse_components(dev, org, dirv, inv_d, inv_o, tmin,
-                                  tmax, any_hit=any_hit,
-                                  stack_depth=stack_depth,
-                                  debug_counters=debug_counters,
-                                  compact_stages=compact_stages,
-                                  ablate=ablate, fixed_iters=fixed_iters)
+    out = traverse_components(dev, org, dirv, inv_d, inv_o, tmin,
+                              tmax, any_hit=any_hit,
+                              stack_depth=stack_depth,
+                              debug_counters=debug_counters,
+                              compact_stages=compact_stages,
+                              ablate=ablate, fixed_iters=fixed_iters,
+                              sub_batches=sub_batches)
     counters = out.pop("counters", None)
 
     def untile(x):

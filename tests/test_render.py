@@ -218,6 +218,46 @@ def test_pool_sort_film_bit_identical(cornell):
     np.testing.assert_array_equal(run("pool", k=3), base)
 
 
+def test_sub_batch_film_bit_identical(cornell):
+    """sub=k chunks the dual-queue traversals into sequential lax.map
+    sub-batches (round 5, lockstep-tail bound); chunking changes the
+    loop schedule, never the per-ray result, so the film must be
+    bit-identical — including under pool-sort (the config where sub
+    pays) and with a pool wide enough for the split to engage
+    (pool=2048 -> 16 rows, sub=2 -> 8-row chunks, the minimum)."""
+    from rodent_tpu.render.integrator import render_iteration_persistent
+    cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 64, 32)
+
+    def run(**kw):
+        return np.asarray(render_iteration_persistent(
+            cornell.device, cam, film_mod.new_film(64, 32), 64, 32, 2, 0,
+            pool=2048, packet=False, compact=3, **kw))
+
+    base = run()
+    np.testing.assert_array_equal(run(sub=2), base)
+    np.testing.assert_array_equal(run(sub=2, sort="pool"),
+                                  run(sort="pool"))
+
+
+def test_pool_rule_from_enclosure():
+    """select_render_policy derives the hybrid-tier pool size from the
+    shell_coverage enclosure statistic instead of hardcoding per scene
+    (round-4 measured signs: enclosed hall wins at 64K, open crown at
+    the default 32K)."""
+    from rodent_tpu.render.compiler import (compile_mesh,
+                                            select_render_policy,
+                                            shell_coverage)
+    from rodent_tpu.utils.testscenes import make_crown, make_hall
+    v, i = make_hall(20_000)
+    hall = compile_mesh(v, i)
+    v, i = make_crown(20_000)
+    crown = compile_mesh(v, i)
+    assert shell_coverage(hall.device) >= 0.5
+    assert shell_coverage(crown.device) < 0.2
+    assert select_render_policy(hall.device).get("pool") == 1 << 16
+    assert "pool" not in select_render_policy(crown.device)
+
+
 def test_engine_routing_film_identical(cornell):
     """Round-4 per-distribution engine routing (VERDICT item 1): routing
     bounce rays to the dual-queue loop, shadow rays to a different
