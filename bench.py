@@ -25,7 +25,13 @@ def _bench_traversal(fn, rays, n, iters=5, blocks=5):
     (bench_traversal.cpp:336-391 reports avg/median/min over iterations;
     single-block timing sat inside the chip's measured +-8% run-to-run
     band and made round-over-round deltas uninterpretable). Returns
-    (median, min, max, last_hit) in Mrays/s."""
+    (median, min, max, last_hit) in Mrays/s.
+
+    Timing barrier: block_until_ready is VALIDATED against a sync
+    fetch for the straight-line programs timed here (tiled-c 4.84 vs
+    4.90 fetched, probe_sb_depth.py) but returns EARLY for lax.map
+    programs on this remote backend — do not time a lax.map-wrapped
+    engine with this helper."""
     import jax
     hit = fn(rays)
     jax.block_until_ready(hit["t"])
@@ -119,17 +125,17 @@ def main():
         # 43K-row Tri8 table) + staged compaction, so the winner is an
         # open question per distribution.
         best, best_eng = 0.0, None
-        # round 5: sub_batches=16 bounds the lockstep tail per chunk
-        # (the waterfall ablation's top lever: +45% over the plain
-        # dual-queue at the same compact_stages, results_tpu_r5.txt)
+        # round 5: a sub_batches=16 lane was tried and REMOVED — its
+        # lax.map program defeats block_until_ready on this remote
+        # backend (timed 7.9, honest sync-fetch timing says 4.08, i.e.
+        # SLOWER than plain tiled-c: cone-sorted chunks share the
+        # global max-trips, so the chunking only adds serialization;
+        # experiments/probe_sb_depth.py, results_tpu_r5.txt)
         for eng_name, eng in (
                 ("packet", lambda r, ah: traverse_packet(dev, r,
                                                          any_hit=ah)),
                 ("tiled-c", lambda r, ah: traverse_tiled(
-                    dev, r, any_hit=ah, compact_stages=5)),
-                ("tiled-c-sb16", lambda r, ah: traverse_tiled(
-                    dev, r, any_hit=ah, compact_stages=5,
-                    sub_batches=16))):
+                    dev, r, any_hit=ah, compact_stages=5))):
             try:
                 fn2 = rjit(lambda r, ah=any_hit, e=eng: e(r, ah))
                 # 5-block median, same standard as the primary row and

@@ -614,10 +614,12 @@ def render_iteration_persistent(scene, camera, film, width, height, spp,
       which kernel serves a ray, never the estimator.
     - sub=k routes the dual-queue traversals through k sequential
       sub-batches (traverse_components sub_batches): each chunk pays
-      its own lockstep max-trips. Only pays when the pool is sorted
-      (sort="pool") so chunks share trip-count neighborhoods — under
-      sort=False the chunk maxima match the global max and the lax.map
-      serialization is pure overhead.
+      its own lockstep max-trips. On the hall MEGABATCH rows this
+      loses with honest timing (probe_sb_depth.py — sorted chunks
+      share the global max-trips); exposed here because a mixed-depth
+      pool under sort="pool" has real trip skew (depth-0 tiles retire
+      in ~7 trips, deep bounces in ~36) — measure per scene with
+      experiments/ab_render_policy.py before enabling.
     """
     # the hybrid policies are wavefront-level (depth-0 peel) and don't
     # apply to a mixed-depth pool; map them to their full-packet flavor

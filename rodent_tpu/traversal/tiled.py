@@ -377,10 +377,15 @@ def traverse_components(dev, org, dirv, inv_d, inv_o, tmin, tmax,
     one compiled body) so the lockstep loop pays each chunk's OWN
     max-trips instead of the global max — the reference bounds the same
     tail per 16x16 tile (cpu_parallel_tiles, mapping_cpu.impala:3-33).
-    Pays when rays are sorted so chunks share trip-count neighborhoods
-    (+40-45% on hall ao/bounces, results_tpu_r5.txt waterfall). Ignored
-    when R is not divisible into chunks of >= 8 rows or under
-    debug_counters/fixed_iters (schedule-pinned diagnostics)."""
+    MEASURED TO LOSE on the hall megabatch rows (honest sync-fetch
+    timing: ao 4.08 vs 4.90, bounces 3.49 vs 4.72 Mrays/s at sb16 —
+    cone-sorted chunks share the global max-trips, so chunking only
+    adds lax.map serialization; probe_sb_depth.py, results_tpu_r5.txt.
+    An earlier +45% readout was a block_until_ready-returns-early
+    artifact on lax.map programs). Kept for trip-skewed ray sets and
+    the renderer policy space. Ignored when R is not divisible into
+    chunks of >= 8 rows or under debug_counters/fixed_iters
+    (schedule-pinned diagnostics)."""
     from .api import BvhMeta
     R_all = tmin.shape[0]
     if (sub_batches > 1 and R_all % sub_batches == 0

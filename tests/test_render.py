@@ -222,9 +222,9 @@ def test_sub_batch_film_bit_identical(cornell):
     """sub=k chunks the dual-queue traversals into sequential lax.map
     sub-batches (round 5, lockstep-tail bound); chunking changes the
     loop schedule, never the per-ray result, so the film must be
-    bit-identical — including under pool-sort (the config where sub
-    pays) and with a pool wide enough for the split to engage
-    (pool=2048 -> 16 rows, sub=2 -> 8-row chunks, the minimum)."""
+    bit-identical — including under pool-sort and with a pool wide
+    enough for the split to engage (pool=2048 -> 16 rows, sub=2 ->
+    8-row chunks, the minimum)."""
     from rodent_tpu.render.integrator import render_iteration_persistent
     cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, 64, 32)
 
