@@ -172,8 +172,16 @@ def main(argv=None):
         tris_b = dev["tris"].size * 4
         for dist, (rays, ah) in dists.items():
             srt, _ = sort_rays(rays, lo, hi)
-            pcfg = ({"tile_rows": 32, "multi": 1} if dist == "primary"
-                    else {})
+            # measured per-scene primary config (r5 probe_crown_sort grid
+            # + bigscene sweep, results_tpu_r5.txt): hall-class wins at
+            # ct-32x1 (71.2 vs legacy-32x1 67.0); crown-class wins at the
+            # 16x2 module default (27.7 vs 32x1 25.5, ct-32x1 16.7 —
+            # carry-top's single pop chain amplifies tile-union
+            # expansion); the powerplant HBM tier wins at 16x2 (every
+            # other tile shape lost the pk-lc sweep).
+            pcfg = {}
+            if dist == "primary" and scene == "hall":
+                pcfg = {"tile_rows": 32, "multi": 1, "carry_top": True}
             for variant in variants:
                 if variant == "packet" and nodes_b + tris_b > VMEM_BUDGET:
                     print(f"{scene} : {dist} : packet : skipped "
