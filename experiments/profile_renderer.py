@@ -48,17 +48,28 @@ def timed(fn, film0, iters):
 
 
 def main():
-    if "--scene" in sys.argv and \
-            sys.argv[sys.argv.index("--scene") + 1] == "hall":
+    want = (sys.argv[sys.argv.index("--scene") + 1]
+            if "--scene" in sys.argv else "cornell")
+    if want in ("hall", "mathall"):
         # hall-260K at a reduced res: attributes the reference-config
         # renderer rows (benchmark --mode renderer); per-step re-sort on
-        # like the sweep
+        # like the sweep. mathall = same geometry with the full-MTL
+        # material set (textured kd, mix, phong, glass, mirror —
+        # converter.cpp:859-927 coverage) so the shading stages are
+        # timed on every BSDF kind, not just diffuse.
         from rodent_tpu.render.compiler import compile_mesh
-        from rodent_tpu.utils.testscenes import make_hall
-        name = "hall"
-        verts, idx = make_hall(2_000 if TINY else 260_000)
+        from rodent_tpu.utils.testscenes import make_hall, \
+            mat_hall_materials
+        name = want
+        rich = want == "mathall"
+        verts, idx = make_hall(2_000 if TINY else 260_000,
+                               rich_mats=rich)
+        mk = {}
+        if rich:
+            mats, texs = mat_hall_materials()
+            mk = {"materials": mats, "tex_images": texs}
         scene = compile_mesh(verts, idx, max_path_len=20,
-                             emitter="inside")
+                             emitter="inside", **mk)
         W0, H0 = (96, 64) if TINY else (480, 272)
         spp = 1 if TINY else 2
         iters = 1 if TINY else 3
@@ -74,16 +85,25 @@ def main():
                             max_path_len=64)
         cam = Camera.make((0, 1, 2.7), (0, 0, -1), (0, 1, 0), 60.0, W0, H0)
     packet = select_packet(scene.device)
-    sort = bool(packet) and name == "hall"
+    sort = bool(packet) and name in ("hall", "mathall")
+    if name == "mathall":
+        # the production policy (measured pool rule + engine routing),
+        # exactly what benchmark --mode renderer runs
+        from rodent_tpu.render.compiler import select_render_policy
+        policy = select_render_policy(scene.device)
+        packet = policy.pop("packet", packet)
+        sort = policy.pop("sort", sort)
+    else:
+        policy = {}
     total = W0 * H0 * spp
     print(f"{name} {W0}x{H0} spp{spp} total {total} packet={packet} "
-          f"sort={sort}")
+          f"sort={sort} policy={policy}")
 
     def run(it0):
         def fn(film):
             return integrator.render_iteration_persistent(
                 scene.device, cam, film, W0, H0, spp, it0, packet=packet,
-                sort=sort)
+                sort=sort, **policy)
         return fn
 
     film0 = film_mod.new_film(W0, H0)
@@ -136,6 +156,20 @@ def main():
     report("no-gathers", timed(run(1), film0, iters))
     tiles_mod.gather_cols = real_gather
     integrator.gather_cols = real_gather
+
+    # ---- ablation: texture-bank fetches -> flat gray (mathall: the
+    # bilinear 4-texel gathers behind textured kd/ks/Ke) ----
+    if "textures" in scene.device:
+        real_bank = integrator._sample_bank
+
+        def fake_bank(scene_, tex_id, uv):
+            g = uv[0] * 0 + 0.5
+            return (g, g, g)
+
+        integrator._sample_bank = fake_bank
+        clear()
+        report("no-texture-fetch", timed(run(1), film0, iters))
+        integrator._sample_bank = real_bank
 
     # ---- ablation: camera emission (RNG seeding + jitter + ray setup),
     # paid at pool init AND at every regeneration ----
@@ -251,8 +285,9 @@ def main():
     for pool in pools:
         def fnp(film, pool=pool):
             return integrator.render_iteration_persistent(
-                scene.device, cam, film, W0, H0, spp, 1, pool=pool,
-                packet=packet, sort=sort)
+                scene.device, cam, film, W0, H0, spp, 1,
+                packet=packet, sort=sort,
+                **{**policy, "pool": pool})
         dt = timed(fnp, film0, iters=min(iters, 3))
         print(f"pool {pool>>10}K: {dt*1e3:7.1f} ms/iter "
               f"({total/dt/1e6:5.2f} Msamples/s)")
@@ -264,7 +299,7 @@ def main():
             def fns(film, mode_s=mode_s):
                 return integrator.render_iteration_persistent(
                     scene.device, cam, film, W0, H0, spp, 1,
-                    packet=packet, sort=mode_s)
+                    packet=packet, sort=mode_s, **policy)
             dt = timed(fns, film0, iters=min(iters, 3))
             print(f"{label}: {dt*1e3:7.1f} ms/iter "
                   f"({total/dt/1e6:5.2f} Msamples/s)")
@@ -272,7 +307,8 @@ def main():
             def fnpk(film, k=k):
                 return integrator.render_iteration_persistent(
                     scene.device, cam, film, W0, H0, spp, 1,
-                    packet=packet, sort="pool", retire_every=k)
+                    packet=packet, sort="pool",
+                    **{**policy, "retire_every": k})
             dt = timed(fnpk, film0, iters=min(iters, 3))
             print(f"sort-pool+retire{k}: {dt*1e3:7.1f} ms/iter "
                   f"({total/dt/1e6:5.2f} Msamples/s)")
@@ -283,8 +319,9 @@ def main():
     for k in (2, 3, 4):
         def fnk(film, k=k):
             return integrator.render_iteration_persistent(
-                scene.device, cam, film, W0, H0, spp, 1, retire_every=k,
-                packet=packet, sort=sort)
+                scene.device, cam, film, W0, H0, spp, 1,
+                packet=packet, sort=sort,
+                **{**policy, "retire_every": k})
         dt = timed(fnk, film0, iters=min(iters, 3))
         print(f"retire_every {k}: {dt*1e3:7.1f} ms/iter "
               f"({total/dt/1e6:5.2f} Msamples/s)")
